@@ -1,0 +1,122 @@
+"""PCG32 generator matching the reference's ``msh_rand_*`` semantics.
+
+The reference pipeline is deterministic because every stochastic component
+seeds a local PCG32 generator with a fixed constant (SURVEY.md §4). We
+reproduce the same generator (seeding: lib/msh/msh_std.h:1434-1443, step:
+:1447-1456, float mapping: :1412-1421) so that host-side sampling steps
+(mesh resampling, merge shuffles, RANSAC sampling) can be made sample-exact
+with the reference when useful for oracle testing. Device-side algorithms
+use ``jax.random`` instead; parity there is gated on metrics, not bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MUL = np.uint64(0x5851F42D4C957F2D)
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _murmur3_avalanche64(h: np.uint64) -> np.uint64:
+    h = np.uint64(h)
+    h ^= h >> np.uint64(33)
+    h *= _M1
+    h ^= h >> np.uint64(33)
+    h *= _M2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+class MshRand:
+    """Bit-exact replica of msh_rand (PCG32 with Gustavsson seeding)."""
+
+    __slots__ = ("state", "inc")
+
+    def __init__(self, seed: int):
+        with np.errstate(over="ignore"):
+            value = np.uint64(((seed & 0xFFFFFFFF) << 1) | 1)
+            value = _murmur3_avalanche64(value)
+            self.state = np.uint64(0)
+            self.inc = np.uint64((int(value) << 1) & 0xFFFFFFFFFFFFFFFF) | np.uint64(1)
+            self.next_u32()
+            self.state = np.uint64(
+                (int(self.state) + int(_murmur3_avalanche64(value))) & 0xFFFFFFFFFFFFFFFF
+            )
+            self.next_u32()
+
+    def next_u32(self) -> int:
+        with np.errstate(over="ignore"):
+            old = self.state
+            self.state = old * _MUL + self.inc
+            xorshifted = np.uint32(((old >> np.uint64(18)) ^ old) >> np.uint64(27))
+            rot = np.uint32(old >> np.uint64(59))
+            r = int(rot)
+            return int((int(xorshifted) >> r) | (int(xorshifted) << ((-r) & 31)) & 0xFFFFFFFF) & 0xFFFFFFFF
+
+    def next_f32(self) -> float:
+        # float in [0, 1): bitcast(127 << 23 | value >> 9) - 1.0 (msh_std.h:1412-1421)
+        value = self.next_u32()
+        bits = np.array([(127 << 23) | (value >> 9)], dtype=np.uint32)
+        return float(bits.view(np.float32)[0]) - 1.0
+
+    def next_range(self, lo: int, hi: int) -> int:
+        # msh_rand_range (msh_std.h:1464-1470): inclusive range via float scale
+        rng = (hi - lo) + 1
+        if rng <= 0:
+            return lo
+        return lo + int(self.next_f32() * rng)
+
+
+class MshDiscreteDistribution:
+    """Alias-method sampler replicating msh_discrete_distrib_t
+    (lib/msh/msh_std.h:1863-1942) including its table construction order."""
+
+    def __init__(self, weights: np.ndarray, seed: int):
+        weights = np.asarray(weights, dtype=np.float64)
+        n = len(weights)
+        self.rand = MshRand(seed)
+        self.n = n
+        total = weights.sum()
+        pdf = (weights / total) if total > 1e-8 else np.zeros(n)
+        pdf = list(pdf)
+        avg = 1.0 / n
+        prob = np.ones(n, dtype=np.float64)
+        alias = np.zeros(n, dtype=np.int64)
+        small, large = [], []
+        for i in range(n):
+            (large if pdf[i] >= avg else small).append(i)
+        while small and large:
+            l = small.pop()
+            g = large.pop()
+            prob[l] = pdf[l] * n
+            alias[l] = g
+            pdf[g] = (pdf[g] + pdf[l]) - avg
+            (large if pdf[g] >= avg else small).append(g)
+        # remaining entries keep prob 1.0 (initialized above)
+        self.prob = prob
+        self.alias = alias
+
+    def sample(self) -> int:
+        col = self.rand.next_range(0, self.n - 1)
+        coin = self.rand.next_f32() < self.prob[col]
+        return int(col if coin else self.alias[col])
+
+
+def distrib2pdf(dist: np.ndarray) -> np.ndarray:
+    """msh_distrib2pdf (msh_std.h:1843-1849): normalize, no-op if sum ~ 0."""
+    dist = np.asarray(dist, dtype=np.float64)
+    s = dist.sum()
+    if s <= 1e-8:
+        return dist.copy()
+    return dist / s
+
+
+def pdfsample_linear(pdf: np.ndarray, prob: float) -> int:
+    """msh_pdfsample_linear (msh_std.h:1967-1977): linear CDF walk."""
+    idx = 0
+    n = len(pdf)
+    while idx < n and prob > pdf[idx]:
+        prob -= pdf[idx]
+        idx += 1
+    return idx
