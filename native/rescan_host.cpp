@@ -1,0 +1,261 @@
+// rescan_host — native host-side helpers for the rescan_tpu framework.
+//
+// TPU-native design note: device compute (scoring, ICP, energy, smoothing)
+// lives in JAX/Pallas. What belongs here is the small set of inherently
+// sequential host algorithms on the ingest path where a Python loop would
+// dominate wall-clock:
+//
+//   * greedy first-in-index-order Poisson-disk subsampling used to build the
+//     5-level LoD pyramid (reference semantics:
+//     lib/rs/rs_pointcloud.h:985-1106 — pick first unmarked point in index
+//     order, emit it, mark every point with dist^2 < voxel^2)
+//   * a uniform hash-grid radius / nearest search used as a host oracle and
+//     for host-side fallbacks (reference: lib/msh/msh_hash_grid.h — strict
+//     `dist_sq < radius_sq` inclusion, capped results keep the k closest)
+//
+// Exposed as a plain C ABI consumed via ctypes (core/native.py).
+// Build: tools/build_native.sh (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct Grid {
+  float ox, oy, oz;      // origin
+  float inv_cell;
+  int nx, ny, nz;
+  std::vector<int32_t> cell_start;   // nx*ny*nz + 1
+  std::vector<int32_t> order;        // point indices sorted by cell
+};
+
+inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Build a dense uniform grid over the points' bounding box.
+void build_grid(const float* pts, int64_t n, float cell, Grid* g) {
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      float v = pts[3 * i + k];
+      if (v < mn[k]) mn[k] = v;
+      if (v > mx[k]) mx[k] = v;
+    }
+  }
+  g->ox = mn[0]; g->oy = mn[1]; g->oz = mn[2];
+  g->inv_cell = 1.0f / cell;
+  g->nx = std::max(1, (int)std::floor((mx[0] - mn[0]) * g->inv_cell) + 1);
+  g->ny = std::max(1, (int)std::floor((mx[1] - mn[1]) * g->inv_cell) + 1);
+  g->nz = std::max(1, (int)std::floor((mx[2] - mn[2]) * g->inv_cell) + 1);
+  int64_t ncells = (int64_t)g->nx * g->ny * g->nz;
+  std::vector<int32_t> cnt(ncells + 1, 0);
+  std::vector<int32_t> cid(n);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cx = clampi((int64_t)((pts[3 * i + 0] - g->ox) * g->inv_cell), 0, g->nx - 1);
+    int64_t cy = clampi((int64_t)((pts[3 * i + 1] - g->oy) * g->inv_cell), 0, g->ny - 1);
+    int64_t cz = clampi((int64_t)((pts[3 * i + 2] - g->oz) * g->inv_cell), 0, g->nz - 1);
+    cid[i] = (int32_t)((cy * g->nz + cz) * g->nx + cx);
+    cnt[cid[i] + 1]++;
+  }
+  for (int64_t c = 0; c < ncells; ++c) cnt[c + 1] += cnt[c];
+  g->cell_start = cnt;
+  g->order.resize(n);
+  std::vector<int32_t> cursor(g->cell_start.begin(), g->cell_start.end() - 1);
+  for (int64_t i = 0; i < n; ++i) g->order[cursor[cid[i]]++] = (int32_t)i;
+}
+
+template <typename Fn>
+inline void for_neighbors(const Grid& g, const float* pts, float qx, float qy,
+                          float qz, float radius, Fn&& fn) {
+  float r2 = radius * radius;
+  int span = (int)std::ceil(radius * g.inv_cell);
+  int cx = (int)clampi((int64_t)((qx - g.ox) * g.inv_cell), 0, g.nx - 1);
+  int cy = (int)clampi((int64_t)((qy - g.oy) * g.inv_cell), 0, g.ny - 1);
+  int cz = (int)clampi((int64_t)((qz - g.oz) * g.inv_cell), 0, g.nz - 1);
+  for (int dy = -span; dy <= span; ++dy) {
+    int yy = cy + dy;
+    if (yy < 0 || yy >= g.ny) continue;
+    for (int dz = -span; dz <= span; ++dz) {
+      int zz = cz + dz;
+      if (zz < 0 || zz >= g.nz) continue;
+      for (int dx = -span; dx <= span; ++dx) {
+        int xx = cx + dx;
+        if (xx < 0 || xx >= g.nx) continue;
+        int64_t c = ((int64_t)yy * g.nz + zz) * g.nx + xx;
+        for (int32_t s = g.cell_start[c]; s < g.cell_start[c + 1]; ++s) {
+          int32_t j = g.order[s];
+          float vx = pts[3 * j + 0] - qx;
+          float vy = pts[3 * j + 1] - qy;
+          float vz = pts[3 * j + 2] - qz;
+          float d2 = vx * vx + vy * vy + vz * vz;
+          if (d2 < r2) fn(j, d2);
+        }
+      }
+    }
+  }
+}
+
+// --- msh_rand (PCG32, Gustavsson seeding) replica -------------------------
+// Reference: lib/msh/msh_std.h:1424-1470. Needed so the mesh-resampling
+// sample stream is bit-exact with the reference pipeline.
+struct MshRand {
+  uint64_t state, inc;
+  static uint64_t avalanche(uint64_t h) {
+    h ^= h >> 33; h *= 0xff51afd7ed558ccdULL;
+    h ^= h >> 33; h *= 0xc4ceb9fe1a85ec53ULL;
+    h ^= h >> 33; return h;
+  }
+  explicit MshRand(uint32_t seed) {
+    uint64_t value = (((uint64_t)seed) << 1ULL) | 1ULL;
+    value = avalanche(value);
+    state = 0U; inc = (value << 1ULL) | 1ULL;
+    next_u32();
+    state += avalanche(value);
+    next_u32();
+  }
+  uint32_t next_u32() {
+    uint64_t old = state;
+    state = old * 0x5851f42d4c957f2dULL + inc;
+    uint32_t xs = (uint32_t)(((old >> 18ULL) ^ old) >> 27ULL);
+    uint32_t rot = (uint32_t)(old >> 59ULL);
+    return (xs >> rot) | (xs << ((-(int)rot) & 31));
+  }
+  float next_f32() {
+    uint32_t v = next_u32();
+    uint32_t bits = (127u << 23) | (v >> 9);
+    float f; memcpy(&f, &bits, sizeof(float));
+    return f - 1.0f;
+  }
+  int32_t next_range(int32_t lo, int32_t hi) {
+    int32_t range = (hi - lo) + 1;
+    if (range <= 0) return lo;
+    return lo + (int32_t)(next_f32() * range);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Draw the reference's mesh-resampling sample stream: face indices from the
+// msh alias-method distribution over triangle areas (seed 64321,
+// msh_std.h:1863-1942) and barycentric coords from PCG32 (seed 12346) with
+// the reflect-if-outside rule (rs_pointcloud.h:1114-1130, :1167-1173).
+// out_face: n_samples int32; out_bary: n_samples*3 float32 (q, s, t).
+void rescan_resample_stream(const double* areas, int64_t n_faces,
+                            int64_t n_samples, uint32_t face_seed,
+                            uint32_t bary_seed, int32_t* out_face,
+                            float* out_bary) {
+  // alias table construction (msh_discrete_distribution_update,
+  // msh_std.h:1863-1916): stack order matters for exactness
+  std::vector<double> pdf(n_faces);
+  double total = 0.0;
+  for (int64_t i = 0; i < n_faces; ++i) total += areas[i];
+  // msh_distrib2pdf (msh_std.h:1843-1849) sums via msh_accumulated, which
+  // returns FLOAT (msh_std.h:660) — replicate the f32 truncation and the
+  // multiply-by-reciprocal form exactly.
+  total = (double)(float)total;
+  double inv_sum = 1.0 / total;
+  for (int64_t i = 0; i < n_faces; ++i)
+    pdf[i] = total > 1e-8 ? areas[i] * inv_sum : 0.0;
+  double avg = 1.0 / (double)n_faces;
+  std::vector<double> prob(n_faces, 1.0);
+  std::vector<int32_t> alias(n_faces, 0);
+  std::vector<int32_t> small, large;
+  for (int64_t i = 0; i < n_faces; ++i) {
+    if (pdf[i] >= avg) large.push_back((int32_t)i);
+    else small.push_back((int32_t)i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int32_t l = small.back(); small.pop_back();
+    int32_t g = large.back(); large.pop_back();
+    prob[l] = pdf[l] * n_faces;
+    alias[l] = g;
+    pdf[g] = (pdf[g] + pdf[l]) - avg;
+    if (pdf[g] >= avg) large.push_back(g);
+    else small.push_back(g);
+  }
+  MshRand face_rng(face_seed);
+  MshRand bary_rng(bary_seed);
+  for (int64_t i = 0; i < n_samples; ++i) {
+    int32_t col = face_rng.next_range(0, (int32_t)n_faces - 1);
+    bool coin = face_rng.next_f32() < prob[col];
+    out_face[i] = coin ? col : alias[col];
+    double s = bary_rng.next_f32();
+    double t = bary_rng.next_f32();
+    if (s + t > 1.0) { s = 1.0 - s; t = 1.0 - t; }
+    out_bary[3 * i + 0] = (float)(1.0 - s - t);
+    out_bary[3 * i + 1] = (float)s;
+    out_bary[3 * i + 2] = (float)t;
+  }
+}
+
+// Greedy Poisson-disk subsample with exact reference semantics
+// (rs_pointcloud__compute_level_poisson, lib/rs/rs_pointcloud.h:985-1106).
+// Returns the number of sample indices written to out_idx (caller allocates n).
+int64_t rescan_poisson_subsample(const float* pts, int64_t n, float voxel,
+                                 int32_t* out_idx) {
+  if (n <= 0) return 0;
+  Grid g;
+  build_grid(pts, n, 2.5f * voxel, &g);  // grid cell = 2.5*voxel (:990)
+  std::vector<uint8_t> unmarked(n, 1);
+  int64_t n_marked = 0, n_samples = 0, last = 0;
+  while (n_marked < n) {
+    int64_t s = last;
+    while (unmarked[s] != 1) ++s;
+    last = s;
+    out_idx[n_samples++] = (int32_t)s;
+    int64_t newly = 0;
+    for_neighbors(g, pts, pts[3 * s], pts[3 * s + 1], pts[3 * s + 2], voxel,
+                  [&](int32_t j, float) {
+                    if (unmarked[j]) { unmarked[j] = 0; ++newly; }
+                  });
+    // NOTE: the sample itself is within radius of itself (d2 = 0 < r2),
+    // so it is always marked by its own query, matching the reference.
+    n_marked += newly;
+  }
+  return n_samples;
+}
+
+// Opaque host hash grid handles.
+void* rescan_grid_build(const float* pts, int64_t n, float cell) {
+  Grid* g = new Grid();
+  build_grid(pts, n, cell, g);
+  return g;
+}
+
+void rescan_grid_free(void* grid) { delete (Grid*)grid; }
+
+// Fixed-K radius search: for each query, the K nearest points with
+// dist^2 < radius^2, sorted ascending. out_idx/out_d2 are (m, k); missing
+// slots get idx -1. Returns nothing; counts go to out_cnt (m).
+void rescan_grid_radius_search(void* grid, const float* pts,
+                               const float* queries, int64_t m, float radius,
+                               int32_t k, int32_t* out_idx, float* out_d2,
+                               int32_t* out_cnt) {
+  Grid* g = (Grid*)grid;
+  std::vector<std::pair<float, int32_t>> cand;
+  for (int64_t q = 0; q < m; ++q) {
+    cand.clear();
+    for_neighbors(*g, pts, queries[3 * q], queries[3 * q + 1], queries[3 * q + 2],
+                  radius, [&](int32_t j, float d2) { cand.emplace_back(d2, j); });
+    int32_t cnt = (int32_t)std::min<size_t>(cand.size(), (size_t)k);
+    std::partial_sort(cand.begin(), cand.begin() + cnt, cand.end());
+    for (int32_t i = 0; i < k; ++i) {
+      if (i < cnt) {
+        out_idx[q * k + i] = cand[i].second;
+        out_d2[q * k + i] = cand[i].first;
+      } else {
+        out_idx[q * k + i] = -1;
+        out_d2[q * k + i] = 1e30f;
+      }
+    }
+    out_cnt[q] = cnt;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,111 @@
+"""ctypes bindings to the native host helper library (native/rescan_host.cpp).
+
+The library is built on demand by tools/build_native.sh; if the shared
+object is missing we attempt a build once (g++ is a baked-in dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "librescan_host.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        subprocess.run(["bash", os.path.join(root, "tools", "build_native.sh")],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.rescan_poisson_subsample.restype = ctypes.c_int64
+    lib.rescan_poisson_subsample.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_grid_build.restype = ctypes.c_void_p
+    lib.rescan_grid_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float]
+    lib.rescan_grid_free.argtypes = [ctypes.c_void_p]
+    lib.rescan_grid_radius_search.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_resample_stream.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def poisson_subsample(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Greedy first-in-order Poisson-disk subsample; returns selected indices
+    (exact reference semantics: lib/rs/rs_pointcloud.h:985-1106)."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = len(pts)
+    out = np.empty(n, dtype=np.int32)
+    cnt = lib.rescan_poisson_subsample(_fptr(pts), n, ctypes.c_float(voxel),
+                                       _iptr(out))
+    return out[:cnt].copy()
+
+
+def resample_stream(areas: np.ndarray, n_samples: int, face_seed: int,
+                    bary_seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's mesh-resampling sample stream (bit-exact): returns
+    (face_idx [n], barycentric [n,3])."""
+    lib = _load()
+    a = np.ascontiguousarray(areas, dtype=np.float64)
+    face = np.empty(n_samples, dtype=np.int32)
+    bary = np.empty((n_samples, 3), dtype=np.float32)
+    lib.rescan_resample_stream(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(a), n_samples,
+        face_seed, bary_seed, _iptr(face), _fptr(bary))
+    return face, bary
+
+
+class HostGrid:
+    """Host uniform hash grid for radius queries (oracle / host fallback)."""
+
+    def __init__(self, points: np.ndarray, cell: float):
+        self._lib = _load()
+        self._pts = np.ascontiguousarray(points, dtype=np.float32)
+        self._handle = self._lib.rescan_grid_build(
+            _fptr(self._pts), len(self._pts), ctypes.c_float(cell))
+
+    def radius_search(self, queries: np.ndarray, radius: float, k: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """K nearest within strict radius per query -> (idx, d2, cnt);
+        idx -1 where missing, results sorted ascending by distance."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        m = len(q)
+        idx = np.empty((m, k), dtype=np.int32)
+        d2 = np.empty((m, k), dtype=np.float32)
+        cnt = np.empty(m, dtype=np.int32)
+        self._lib.rescan_grid_radius_search(
+            ctypes.c_void_p(self._handle), _fptr(self._pts), _fptr(q), m,
+            ctypes.c_float(radius), k, _iptr(idx), _fptr(d2), _iptr(cnt))
+        return idx, d2, cnt
+
+    def __del__(self):
+        try:
+            self._lib.rescan_grid_free(ctypes.c_void_p(self._handle))
+        except Exception:
+            pass

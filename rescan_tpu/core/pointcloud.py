@@ -1,0 +1,254 @@
+"""The core tensor point-cloud data model.
+
+A ``PointCloud`` is a 5-level LoD pyramid of surfel arrays (positions,
+normals, colors, radii, qualities, class ids, instance ids), mirroring the
+capabilities of the reference's ``rs_pointcloud_t``
+(lib/rs/rs_pointcloud.h:77-97) with a tensor-first design:
+
+* Each level is a dict of contiguous numpy arrays on the host; device
+  placement and padding happen at kernel boundaries (ops/*), where batch
+  shapes are known. This keeps the host model simple and serialization
+  byte-exact while all hot compute runs on fixed-shape device arrays.
+* Levels 1..4 are greedy Poisson-disk subsamples of level 0 at voxel sizes
+  {0.01, 0.02, 0.04, 0.08} (reference: rs_pointcloud.h:145, :985-1106),
+  computed by the native helper (core/native.py).
+* Mesh inputs are resampled to a uniform surfel soup at 6400 samples/m^2
+  with the reference's area-weighted triangle sampling and exact PRNG
+  (rs_pointcloud.h:1133-1227).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config
+from ..io import ply as plyio
+from ..utils import rng as mshrng
+from . import native
+
+Level = Dict[str, np.ndarray]
+
+_FIELDS = ("positions", "normals", "colors", "radii", "qualities",
+           "class_ids", "instance_ids")
+
+
+@dataclasses.dataclass
+class PointCloud:
+    levels: List[Level]
+    faces: Optional[np.ndarray] = None
+    _bbox: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    _centroid: Optional[np.ndarray] = None
+    _covariance: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_arrays(cls, level0: Level, faces: Optional[np.ndarray] = None,
+                    compute_levels: bool = True) -> "PointCloud":
+        lvl0 = {k: np.ascontiguousarray(level0[k]) for k in _FIELDS}
+        pc = cls(levels=[lvl0] + [None] * (config.N_LEVELS - 1), faces=faces)
+        if compute_levels:
+            pc.compute_levels()
+        return pc
+
+    @classmethod
+    def from_ply(cls, path: str, compute_levels: bool = True,
+                 verbose: bool = False) -> "PointCloud":
+        """Load + (if mesh) resample + build LoDs
+        (rs_pointcloud_from_files, rs_pointcloud.h:1247-1291)."""
+        cloud = plyio.load_surfel_ply(path)
+        faces = cloud.pop("faces")
+        if len(faces) > 0:
+            cloud = uniform_resample(cloud, faces)
+            faces = None  # resampled soups carry no faces (rs_pointcloud.h:1271-1276)
+        else:
+            faces = None
+        pc = cls.from_arrays(cloud, faces=faces, compute_levels=compute_levels)
+        return pc
+
+    # ------------------------------------------------------------------
+    # Accessors
+    # ------------------------------------------------------------------
+
+    def n_pts(self, lvl: int = 0) -> int:
+        return 0 if self.levels[lvl] is None else len(self.levels[lvl]["positions"])
+
+    def pos(self, lvl: int) -> np.ndarray:
+        return self.levels[lvl]["positions"]
+
+    def nrm(self, lvl: int) -> np.ndarray:
+        return self.levels[lvl]["normals"]
+
+    @property
+    def bbox(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(min, max) over level-0 points (rs_pointcloud.h:839-847)."""
+        if self._bbox is None:
+            p = self.pos(0)
+            self._bbox = (p.min(axis=0), p.max(axis=0))
+        return self._bbox
+
+    def centroid(self, lvl: int = 0) -> np.ndarray:
+        """Cached level centroid (rs_pointcloud_centroid,
+        rs_pointcloud.h:1318-1339; cache is level-agnostic like the ref)."""
+        if self._centroid is None:
+            self._centroid = self.pos(lvl).astype(np.float64).mean(axis=0).astype(np.float32)
+        return self._centroid
+
+    def covariance(self, lvl: int = 0) -> np.ndarray:
+        """Cached covariance of (p - centroid) outer products / n
+        (mshgeo_pts3d_covariance, lib/msh/msh_geometry.h)."""
+        if self._covariance is None:
+            d = self.pos(lvl) - self.centroid(lvl)
+            self._covariance = (d.T @ d / len(d)).astype(np.float32)
+        return self._covariance
+
+    def _invalidate(self):
+        self._bbox = None
+        self._centroid = None
+        self._covariance = None
+
+    # ------------------------------------------------------------------
+    # Level pyramid
+    # ------------------------------------------------------------------
+
+    def compute_levels(self) -> None:
+        """Rebuild levels 1..4 by Poisson-disk subsampling level 0
+        (rs_pointcloud_compute_levels, rs_pointcloud.h:1305-1316)."""
+        self._invalidate()
+        lvl0 = self.levels[0]
+        for lvl in range(1, config.N_LEVELS):
+            idx = native.poisson_subsample(lvl0["positions"],
+                                           config.LEVEL_VOXEL_SIZES[lvl])
+            self.levels[lvl] = {k: np.ascontiguousarray(lvl0[k][idx])
+                                for k in _FIELDS}
+
+    # ------------------------------------------------------------------
+    # Copy / extract / merge / transform (rs_pointcloud.h:174-446,1354-1378)
+    # ------------------------------------------------------------------
+
+    def copy(self) -> "PointCloud":
+        return PointCloud.from_arrays(
+            {k: self.levels[0][k].copy() for k in _FIELDS},
+            faces=None if self.faces is None else self.faces.copy())
+
+    def extract_by_ids(self, lvl: int, field: str, ids: Sequence[int],
+                       compute_levels: bool = False) -> Optional["PointCloud"]:
+        """Extract points whose ``field`` (class_ids/instance_ids) is in
+        ``ids``; the extraction becomes the new level 0
+        (rs_pointcloud_copy_by_ids, rs_pointcloud.h:239-297)."""
+        vals = self.levels[lvl][field]
+        mask = np.isin(vals, np.asarray(list(ids)))
+        if not mask.any():
+            return None
+        sub = {k: np.ascontiguousarray(self.levels[lvl][k][mask]) for k in _FIELDS}
+        return PointCloud.from_arrays(sub, compute_levels=compute_levels)
+
+    def merge_with(self, other: "PointCloud", lvl: int = 0) -> "PointCloud":
+        """Concatenate two clouds at ``lvl`` into a new level 0 with the
+        reference's deterministic Fisher-Yates shuffle (seed 12346,
+        rs_pointcloud_merge, rs_pointcloud.h:383-446), then rebuild levels."""
+        merged = {k: np.concatenate([self.levels[lvl][k], other.levels[lvl][k]])
+                  for k in _FIELDS}
+        n = len(merged["positions"])
+        g = mshrng.MshRand(config.MERGE_SHUFFLE_SEED)
+        perm = np.arange(n)
+        for i in range(n - 1, 0, -1):
+            j = int(g.next_f32() * i)
+            perm[i], perm[j] = perm[j], perm[i]
+        merged = {k: np.ascontiguousarray(v[perm]) for k, v in merged.items()}
+        return PointCloud.from_arrays(merged)
+
+    def transform(self, mat4: np.ndarray, compute_levels: bool = False) -> None:
+        """Rigid transform of level 0 (positions as points, normals as
+        directions; rs_pointcloud_transform, rs_pointcloud.h:1367-1378)."""
+        self._invalidate()
+        m = np.asarray(mat4, dtype=np.float32)
+        lvl0 = self.levels[0]
+        lvl0["positions"] = (lvl0["positions"] @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+        lvl0["normals"] = (lvl0["normals"] @ m[:3, :3].T).astype(np.float32)
+        if compute_levels:
+            self.compute_levels()
+        else:
+            # keep coarse levels consistent (the reference leaves them stale
+            # when compute_levels=0; we transform them in place instead,
+            # which is strictly more consistent and metric-neutral)
+            for lvl in range(1, config.N_LEVELS):
+                if self.levels[lvl] is not None:
+                    L = self.levels[lvl]
+                    L["positions"] = (L["positions"] @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+                    L["normals"] = (L["normals"] @ m[:3, :3].T).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # I/O
+    # ------------------------------------------------------------------
+
+    def save_ply(self, path: str, level: int = 0) -> None:
+        plyio.save_surfel_ply(path, self.levels[level],
+                              faces=self.faces if level == 0 else None)
+
+
+# ---------------------------------------------------------------------------
+# Mesh resampling (rs_pointcloud_uniform_resample, rs_pointcloud.h:1133-1227)
+# ---------------------------------------------------------------------------
+
+def uniform_resample(cloud: Level, faces: np.ndarray) -> Level:
+    """Area-weighted uniform triangle resampling at 6400 samples/m^2.
+
+    Sample-exact with the reference: faces drawn from the msh alias-method
+    distribution (seed 64321), barycentrics from PCG32 (seed 12346) with
+    the reflect-if-outside rule; class/instance ids copied from the vertex
+    with the smallest barycentric weight (sic — matches
+    rs_pointcloud.h:1200-1222); radii lerped; normals lerped+normalized.
+    """
+    pos = cloud["positions"]
+    v0, v1, v2 = (pos[faces[:, 0]], pos[faces[:, 1]], pos[faces[:, 2]])
+    # areas in float32 with the reference's exact expression order
+    # (msh_vec3_norm of msh_vec3_cross, rs_pointcloud.h:1149-1151) so the
+    # alias-table construction bit-matches
+    c = np.cross(v1 - v0, v2 - v0).astype(np.float32)
+    areas = np.sqrt((c[:, 0] * c[:, 0] + c[:, 1] * c[:, 1])
+                    + c[:, 2] * c[:, 2], dtype=np.float32).astype(np.float64)
+    total_area = float(areas.sum())
+    n_samples = int(config.RESAMPLE_DENSITY_FACTOR * total_area *
+                    config.RESAMPLE_SAMPLES_PER_SQM)
+
+    face_idx, w = native.resample_stream(
+        areas, n_samples, config.RESAMPLE_SEED_FACE_DIST,
+        config.RESAMPLE_SEED_BARYCENTRIC)
+
+    vi = faces[face_idx]                     # (n, 3) vertex indices
+    # w: (n, 3) float32 barycentric weights (q, s, t)
+
+    def lerp3(attr):
+        return (attr[vi[:, 0]] * w[:, 0:1] + attr[vi[:, 1]] * w[:, 1:2]
+                + attr[vi[:, 2]] * w[:, 2:3]).astype(np.float32)
+
+    out_pos = lerp3(cloud["positions"])
+    nrm = lerp3(cloud["normals"])
+    norms = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = np.where(norms > 0, nrm / np.maximum(norms, 1e-30), nrm)
+    out_col = lerp3(cloud["colors"])
+    out_rad = (cloud["radii"][vi[:, 0]] * w[:, 0] + cloud["radii"][vi[:, 1]] * w[:, 1]
+               + cloud["radii"][vi[:, 2]] * w[:, 2]).astype(np.float32)
+
+    # ids from the vertex with the minimal barycentric coordinate
+    # (rs_pointcloud.h:1200-1222; first minimum wins on ties: x, then y)
+    min_k = np.argmin(w, axis=1)
+    picked = vi[np.arange(n_samples), min_k]
+    out_cls = cloud["class_ids"][picked].astype(np.int32)
+    out_ins = cloud["instance_ids"][picked].astype(np.int32)
+
+    return {
+        "positions": out_pos,
+        "normals": nrm.astype(np.float32),
+        "colors": out_col,
+        "radii": out_rad,
+        "qualities": np.ones(n_samples, dtype=np.float32),
+        "class_ids": out_cls,
+        "instance_ids": out_ins,
+    }

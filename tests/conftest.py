@@ -4,7 +4,9 @@ multi-chip sharding paths compile and execute without TPU hardware."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the outer environment may point JAX at a (slow, single-chip)
+# TPU tunnel; tests exercise sharding on 8 virtual CPU devices instead
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

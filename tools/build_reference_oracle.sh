@@ -23,6 +23,53 @@ sed -i 's/char class_name\[64\] = {0};/char class_name[512] = {0};/' "$SRC/lib/r
 sed -i 's|if(scene->scn_filename)           free(scene->scn_filename);|/* oracle patch: scn_filename may alias argv */|' "$SRC/lib/rs/rs_database.h"
 
 mkdir -p "$OUT"
+
+# levels_dump: a small oracle that loads a PLY through the reference ingest
+# path (load + resample + 5-level Poisson-disk pyramid) and dumps per-level
+# counts/positions/ids for bit-exact parity testing of our ingest.
+cat > /tmp/levels_dump.cpp << 'EOF'
+#define MSH_STD_IMPLEMENTATION
+#define MSH_PLY_IMPLEMENTATION
+#define MSH_VEC_MATH_IMPLEMENTATION
+#define MSH_GEOMETRY_IMPLEMENTATION
+#define MSH_HASH_GRID_IMPLEMENTATION
+#define RS_POINTCLOUD_IMPLEMENTATION
+#define HASHTABLE_IMPLEMENTATION
+#include <cassert>
+#include <cmath>
+#include <cstring>
+#include <cstdint>
+#include <cstdarg>
+#include <cstddef>
+#include <cstdio>
+#include <cstdlib>
+#include <cfloat>
+#include <cctype>
+#include "msh/msh_std.h"
+#include "msh/msh_vec_math.h"
+#include "msh/msh_geometry.h"
+#include "msh/msh_ply.h"
+#include "msh/msh_hash_grid.h"
+#include "mg/hashtable.h"
+#include "rs_pointcloud.h"
+int main(int argc, char** argv) {
+  rs_pointcloud_t* pc = rs_pointcloud_init(1);
+  if (rs_pointcloud_from_file(pc, argv[1])) return 1;
+  FILE* f = fopen(argv[2], "wb");
+  for (int l = 0; l < RSPC_N_LEVELS; ++l) {
+    int64_t n = pc->n_pts[l];
+    fwrite(&n, 8, 1, f);
+    fwrite(pc->positions[l], sizeof(float), 3 * n, f);
+    fwrite(pc->class_ids[l], sizeof(int32_t), n, f);
+    fwrite(pc->instance_ids[l], sizeof(int32_t), n, f);
+  }
+  fclose(f);
+  return 0;
+}
+EOF
+g++ -O2 -fopenmp -I"$SRC/lib" -I"$SRC/lib/rs" -o "$OUT/levels_dump" /tmp/levels_dump.cpp -lm
+echo "BUILT $OUT/levels_dump"
+
 for app in seg2rsdb pose_proposal create_eval_files; do
   srcs="$SRC/apps/$app/main.cpp"
   if [ -f "$SRC/apps/$app/pose_proposal.cpp" ]; then
