@@ -1,0 +1,188 @@
+"""Batched point-to-plane ICP — all (object, pose-hypothesis) pairs refined
+in one device launch.
+
+Replaces the reference's per-call scalar ICP (lib/rs/icp.h:416-500), which
+rebuilds search structures per invocation and is called once per
+(object x proposal) in a host loop (the pipeline's hot loop #2,
+apps/pose_proposal/main.cpp:178-204). Here the scene grid is built once and
+the whole batch iterates together in a single ``lax.while_loop``; per-pair
+convergence is tracked with an active mask.
+
+Semantics mirror the reference exactly, including its quirks:
+
+* correspondences: radius search (radius = current max_dist) on the scene,
+  nearest neighbor passing ``acos(max(dot, 0)) < max_angle``
+  (icp_find_corrs, icp.h:306-412)
+* weights: ``(1 - d2 / max_dist) * dot`` — the reference multiplies the
+  SQUARED distance by 1/max_dist (icp.h:387, ``dists`` holds distances_sq)
+* outlier rejection: weights zeroed where ``d2 > 2.5 * std(d2)`` over the
+  accepted correspondence set (icp.h:393-401 — again on squared distances,
+  thresholded against the std alone, not mean + 2.5 sigma)
+* update: Low '04 linearization about the weighted source centroid; the
+  6x6 normal system solved per pair; transform composed as
+  ``Trans(c1) Trans(t) Rx Ry Rz Trans(-c1) @ T``  (icp.h:280-295)
+* loop: max 100 iters, stop when ``|err - prev| < 1e-5`` after iter 5,
+  ``max_dist <- max(0.95 * max_dist, 0.05)`` each iter (icp.h:489-493)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from . import hashgrid
+
+
+def _rotation_xyz(ax, ay, az):
+    """R = Rx(ax) @ Ry(ay) @ Rz(az), matching the reference's composition
+    order (icp.h:288-290 via msh_rotate right-multiplication)."""
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    one = jnp.ones_like(ax)
+    zero = jnp.zeros_like(ax)
+    rx = jnp.stack([jnp.stack([one, zero, zero], -1),
+                    jnp.stack([zero, cx, -sx], -1),
+                    jnp.stack([zero, sx, cx], -1)], -2)
+    ry = jnp.stack([jnp.stack([cy, zero, sy], -1),
+                    jnp.stack([zero, one, zero], -1),
+                    jnp.stack([-sy, zero, cy], -1)], -2)
+    rz = jnp.stack([jnp.stack([cz, -sz, zero], -1),
+                    jnp.stack([sz, cz, zero], -1),
+                    jnp.stack([zero, zero, one], -1)], -2)
+    return rx @ ry @ rz
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
+                      obj_mask: jax.Array, grid: hashgrid.HashGrid,
+                      T_init: jax.Array, max_dist, max_angle,
+                      max_iter: int = config.ICP_MAX_ITER,
+                      chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
+    """Refine B rigid transforms simultaneously.
+
+    Args:
+      obj_pts / obj_nrm: (B, N, 3) padded source points/normals.
+      obj_mask: (B, N) validity of the padding.
+      grid: scene hash grid built with cell >= initial max_dist.
+      T_init: (B, 4, 4) initial source-to-scene transforms.
+      max_dist / max_angle: scalars (the reference's icp_align params).
+
+    Returns (T, err): refined (B, 4, 4) transforms and final pt2pl errors.
+    """
+    B, N, _ = obj_pts.shape
+    cos_gate = jnp.cos(max_angle)
+
+    def find_corrs(T, dist):
+        # transform sources into scene frame
+        R = T[:, :3, :3]
+        t = T[:, :3, 3]
+        q = jnp.einsum("bij,bnj->bni", R, obj_pts) + t[:, None, :]
+        qn = jnp.einsum("bij,bnj->bni", R, obj_nrm)
+        idx, d2, dot = hashgrid.nearest_gated(
+            grid, q.reshape(B * N, 3), qn.reshape(B * N, 3), dist, cos_gate,
+            chunk=chunk)
+        idx = idx.reshape(B, N)
+        d2 = d2.reshape(B, N)
+        dot = dot.reshape(B, N)
+        ok = (idx >= 0) & obj_mask
+        return q, qn, idx, d2, dot, ok
+
+    # Precompute original-order scene arrays once (inverse permutation).
+    inv = jnp.zeros_like(grid.perm).at[grid.perm].set(
+        jnp.arange(grid.perm.shape[0], dtype=grid.perm.dtype))
+    scene_pts = grid.points[inv]
+    scene_nrm = grid.normals[inv]
+
+    def body(state):
+        T, err, dist, active, it = state
+        q, qn, idx, d2, dot, ok = find_corrs(T, dist)
+        idx_safe = jnp.maximum(idx, 0)
+        p2 = scene_pts[idx_safe]
+        n2 = scene_nrm[idx_safe]
+
+        w = (1.0 - d2 / dist) * dot          # reference quirk: d^2 / max_dist
+        w = jnp.where(ok, w, 0.0)
+        # 2.5-sigma rejection on squared distances (icp.h:393-401)
+        cnt = jnp.maximum(jnp.sum(ok, axis=1), 1)
+        d2z = jnp.where(ok, d2, 0.0)
+        mean = jnp.sum(d2z, axis=1) / cnt
+        var = jnp.sum(jnp.where(ok, (d2 - mean[:, None]) ** 2, 0.0), axis=1) / cnt
+        std = jnp.sqrt(var)
+        keep = (std[:, None] <= 1e-6) | (d2 <= 2.5 * std[:, None])
+        w = jnp.where(keep, w, 0.0)
+
+        wsum = jnp.sum(w, axis=1)
+        has_corrs = (jnp.sum(ok, axis=1) > 0) & (wsum > 1e-7)
+        wsafe = jnp.maximum(wsum, 1e-30)
+
+        c1 = jnp.einsum("bn,bni->bi", w, q) / wsafe[:, None]
+        c2 = jnp.einsum("bn,bni->bi", w, p2) / wsafe[:, None]
+        p = q - c1[:, None, :]
+        qq = p2 - c2[:, None, :]
+        d = p - qq
+        cxn = jnp.cross(p, n2)
+        ddn = jnp.einsum("bni,bni->bn", d, n2)
+
+        # 6x6 normal system: J = [c; n] per corr (Low '04)
+        j6 = jnp.concatenate([cxn, n2], axis=-1)              # (B, N, 6)
+        C = jnp.einsum("bn,bni,bnj->bij", w, j6, j6)
+        b = -jnp.einsum("bn,bni,bn->bi", w, j6, ddn)
+        # damp for degenerate/ill-conditioned systems; f64 is not TPU-native,
+        # so solve in f32 with scale-aware Tikhonov damping
+        tr = jnp.trace(C, axis1=-2, axis2=-1)[:, None, None]
+        C = C + jnp.eye(6, dtype=C.dtype)[None] * (1e-6 * tr / 6.0 + 1e-20)
+        x = jnp.linalg.solve(C, b[..., None])[..., 0]
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+        new_err = jnp.sqrt(jnp.einsum("bn,bn->b", w, ddn * ddn) / wsafe)
+
+        R = _rotation_xyz(x[:, 0], x[:, 1], x[:, 2])          # (B, 3, 3)
+        t = x[:, 3:6]
+        # T_update = Trans(c1) Trans(t) R Trans(-c1)
+        upd = jnp.zeros((B, 4, 4), jnp.float32)
+        upd = upd.at[:, :3, :3].set(R)
+        upd = upd.at[:, :3, 3].set(c1 + t - jnp.einsum("bij,bj->bi", R, c1))
+        upd = upd.at[:, 3, 3].set(1.0)
+
+        do_update = active & has_corrs
+        T_new = jnp.where(do_update[:, None, None], upd @ T, T)
+        err_new = jnp.where(do_update, new_err, err)
+
+        delta = jnp.abs(err - err_new)
+        converged = (it > 5) & (delta < config.ICP_CONVERGE_DELTA)
+        active_new = active & has_corrs & ~converged
+        dist_new = jnp.maximum(dist * config.ICP_DIST_ANNEAL,
+                               config.ICP_DIST_FLOOR)
+        return (T_new, err_new, dist_new, active_new, it + 1)
+
+    def cond(state):
+        _, _, _, active, it = state
+        return (it < max_iter) & jnp.any(active)
+
+    init = (T_init.astype(jnp.float32),
+            jnp.full((B,), 1e6, jnp.float32),
+            jnp.asarray(max_dist, jnp.float32),
+            jnp.ones((B,), bool),
+            jnp.asarray(0, jnp.int32))
+    T, err, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return T, err
+
+
+def pad_batch(list_of_pts, list_of_nrm):
+    """Pad a ragged list of (n_i, 3) arrays to (B, N_max, 3) + mask."""
+    import numpy as np
+    B = len(list_of_pts)
+    n_max = max((len(p) for p in list_of_pts), default=1)
+    pts = np.zeros((B, n_max, 3), np.float32)
+    nrm = np.zeros((B, n_max, 3), np.float32)
+    mask = np.zeros((B, n_max), bool)
+    for i, (p, n) in enumerate(zip(list_of_pts, list_of_nrm)):
+        pts[i, :len(p)] = p
+        nrm[i, :len(p)] = n
+        mask[i, :len(p)] = True
+    return pts, nrm, mask

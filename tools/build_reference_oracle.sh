@@ -70,6 +70,57 @@ EOF
 g++ -O2 -fopenmp -I"$SRC/lib" -I"$SRC/lib/rs" -o "$OUT/levels_dump" /tmp/levels_dump.cpp -lm
 echo "BUILT $OUT/levels_dump"
 
+# icp_oracle: runs the reference icp_align on serialized inputs.
+# stdin file layout (all little-endian):
+#   int32 n1; float pts1[n1*3]; float nor1[n1*3];
+#   int32 n2; float pts2[n2*3]; float nor2[n2*3];
+#   float T1[16] (column-major); float max_dist; float max_angle;
+# output file: float T1[16] (column-major); float err;
+cat > /tmp/icp_oracle.cpp << 'EOF'
+#define MSH_STD_IMPLEMENTATION
+#define MSH_VEC_MATH_IMPLEMENTATION
+#define MSH_HASH_GRID_IMPLEMENTATION
+#define ICP_IMPLEMENTATION
+#include <cassert>
+#include <cmath>
+#include <cstring>
+#include <cstdint>
+#include <cstdarg>
+#include <cstddef>
+#include <cstdio>
+#include <cstdlib>
+#include <cfloat>
+#include <cctype>
+#include "msh/msh_std.h"
+#include "msh/msh_vec_math.h"
+#include "msh/msh_hash_grid.h"
+#include "icp.h"
+int main(int argc, char** argv) {
+  FILE* f = fopen(argv[1], "rb");
+  int32_t n1, n2;
+  fread(&n1, 4, 1, f);
+  msh_vec3_t* p1 = (msh_vec3_t*)malloc(n1 * 12);
+  msh_vec3_t* q1 = (msh_vec3_t*)malloc(n1 * 12);
+  fread(p1, 12, n1, f); fread(q1, 12, n1, f);
+  fread(&n2, 4, 1, f);
+  msh_vec3_t* p2 = (msh_vec3_t*)malloc(n2 * 12);
+  msh_vec3_t* q2 = (msh_vec3_t*)malloc(n2 * 12);
+  fread(p2, 12, n2, f); fread(q2, 12, n2, f);
+  msh_mat4_t T;
+  float max_dist, max_angle;
+  fread(&T, 64, 1, f); fread(&max_dist, 4, 1, f); fread(&max_angle, 4, 1, f);
+  fclose(f);
+  float err = icp_align(p1, q1, n1, p2, q2, n2, &T, msh_mat4_identity(),
+                        max_dist, max_angle, 0);
+  FILE* g = fopen(argv[2], "wb");
+  fwrite(&T, 64, 1, g); fwrite(&err, 4, 1, g);
+  fclose(g);
+  return 0;
+}
+EOF
+g++ -O2 -fopenmp -I"$SRC/lib" -I"$SRC/lib/rs" -o "$OUT/icp_oracle" /tmp/icp_oracle.cpp -lm
+echo "BUILT $OUT/icp_oracle"
+
 for app in seg2rsdb pose_proposal create_eval_files; do
   srcs="$SRC/apps/$app/main.cpp"
   if [ -f "$SRC/apps/$app/pose_proposal.cpp" ]; then
