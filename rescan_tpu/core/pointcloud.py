@@ -229,12 +229,15 @@ def uniform_resample(cloud: Level, faces: np.ndarray) -> Level:
                 + attr[vi[:, 2]] * w[:, 2:3]).astype(np.float32)
 
     out_pos = lerp3(cloud["positions"])
-    nrm = lerp3(cloud["normals"])
-    norms = np.linalg.norm(nrm, axis=1, keepdims=True)
-    nrm = np.where(norms > 0, nrm / np.maximum(norms, 1e-30), nrm)
+    # reference normalizes via f32 reciprocal sqrt (rs_pointcloud.h:1188)
+    nrm = plyio.normalize_f32(lerp3(cloud["normals"]))
     out_col = lerp3(cloud["colors"])
-    out_rad = (cloud["radii"][vi[:, 0]] * w[:, 0] + cloud["radii"][vi[:, 1]] * w[:, 1]
-               + cloud["radii"][vi[:, 2]] * w[:, 2]).astype(np.float32)
+    # radius lerp: f32 products summed in f64, cast back to f32
+    # (rs_pointcloud.h:1195-1198 declares the products as doubles)
+    out_rad = ((cloud["radii"][vi[:, 0]] * w[:, 0]).astype(np.float64)
+               + (cloud["radii"][vi[:, 1]] * w[:, 1]).astype(np.float64)
+               + (cloud["radii"][vi[:, 2]] * w[:, 2]).astype(np.float64)
+               ).astype(np.float32)
 
     # ids from the vertex with the minimal barycentric coordinate
     # (rs_pointcloud.h:1200-1222; first minimum wins on ties: x, then y)

@@ -214,12 +214,10 @@ def load_surfel_ply(path: str) -> Dict[str, np.ndarray]:
         nrm = compute_vertex_normals(pos, faces)
     else:
         nrm = np.zeros((n, 3), dtype=np.float32)
-    # normalize; NaN -> zeros (rs_pointcloud.h:744-752)
-    norms = np.linalg.norm(nrm, axis=1, keepdims=True)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        nrm = nrm / norms
-    nrm[~np.isfinite(nrm).all(axis=1)] = 0.0
-    out["normals"] = nrm.astype(np.float32)
+    # normalize; NaN -> zeros (rs_pointcloud.h:744-752). Multiply by the f32
+    # reciprocal sqrt exactly as msh_vec3_normalize (msh_vec_math.h:868-872)
+    # so saved normals are bit-identical to the reference's.
+    out["normals"] = normalize_f32(nrm)
 
     if all(k in v for k in ("red", "green", "blue")):
         col = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.float32) / 255.0
@@ -235,6 +233,19 @@ def load_surfel_ply(path: str) -> Dict[str, np.ndarray]:
                            else np.zeros(n, dtype=np.int32))
     out["qualities"] = np.ones(n, dtype=np.float32)
     return out
+
+
+def normalize_f32(v: np.ndarray) -> np.ndarray:
+    """Row-normalize exactly like msh_vec3_normalize
+    (msh_vec_math.h:868-872): multiply by f32 1/sqrt(x^2+y^2+z^2);
+    non-finite rows become zero (rs_pointcloud.h:747-751)."""
+    v = np.asarray(v, dtype=np.float32)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        s = ((v[:, 0] * v[:, 0] + v[:, 1] * v[:, 1]) + v[:, 2] * v[:, 2])
+        denom = (np.float32(1.0) / np.sqrt(s, dtype=np.float32)).astype(np.float32)
+        out = v * denom[:, None]
+    out[~np.isfinite(out).all(axis=1)] = 0.0
+    return out.astype(np.float32)
 
 
 def compute_vertex_normals(pos: np.ndarray, faces: np.ndarray) -> np.ndarray:

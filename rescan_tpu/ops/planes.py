@@ -1,0 +1,320 @@
+"""RANSAC floor/wall detection, connected-component splitting, plane
+classification and wall/floor relabeling.
+
+Mirrors lib/rs/rs_pointcloud_filters.cpp:80-671. RANSAC hypothesis sampling
+uses the exact msh PRNG replica (seed 12346) so the candidate stream matches
+the reference; inlier evaluation is vectorized over all candidates at once
+instead of one hypothesis per loop iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from .. import config
+from ..utils import rng as mshrng
+from ..core import native
+
+
+@dataclasses.dataclass
+class PlaneModel:
+    """rspf_plane_model_t (lib/rs/rs_pointcloud_filters.h:22-31)."""
+    center: np.ndarray
+    normal: np.ndarray
+    n_inliers: int = 0
+    inlier_ind: Optional[np.ndarray] = None
+    axes: Optional[np.ndarray] = None       # (3,3) columns
+    extends: Optional[np.ndarray] = None    # (max_x, max_y, min_x, min_y)
+    valid: bool = False
+    # features (rspf_plane_feature_set_t)
+    count: int = 0
+    max_y: float = 0.0
+    normal_up_dot: float = 0.0
+    saliency: float = 0.0
+
+
+def _plane_inlier_counts(centers, normals, pts, weights, dist):
+    """Count weighted inliers for many candidate planes at once."""
+    sel = weights > 0.01
+    p = pts[sel]
+    d = np.abs((p[None, :, :] - centers[:, None, :]) @ np.ones((1,)) if False
+               else np.einsum("cij->cij", p[None] - centers[:, None]))
+    # distance of each point to each plane: |dot(n_c, p - c_c)|
+    dd = np.abs(np.einsum("ci,cpi->cp", normals, p[None] - centers[:, None]))
+    return (dd < dist).sum(axis=1)
+
+
+def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
+    """rspf__detect_floor (rs_pointcloud_filters.cpp:204-252): 2500 RANSAC
+    rounds over up-facing points, keep the best plane."""
+    up_dot = nrm[:, 1]
+    weights = (up_dot > config.PLANE_DOT_THRESHOLD).astype(np.float64)
+    if weights.sum() == 0:
+        return []
+    dist = mshrng.MshDiscreteDistribution(weights, config.PLANE_RANSAC_SEED)
+    n_iter = config.PLANE_FLOOR_RANSAC_ITER
+    tri = np.array([[dist.sample(), dist.sample(), dist.sample()]
+                    for _ in range(n_iter)])
+    pa, pb, pc_ = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    n = np.cross(pb - pa, pc_ - pa)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    sel = weights > 0.01
+    p = pts[sel]
+    counts = np.zeros(n_iter, dtype=np.int64)
+    for c in range(n_iter):
+        if not np.isfinite(n[c]).all():
+            continue
+        d = np.abs((p - pa[c]) @ n[c])
+        counts[c] = (d < config.PLANE_DIST_THRESHOLD).sum()
+    best = int(np.argmax(counts))
+    if counts[best] == 0:
+        return []
+    return [PlaneModel(center=pa[best].copy(), normal=n[best].copy(),
+                       n_inliers=int(counts[best]))]
+
+
+def detect_walls(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
+    """rspf__detect_walls (rs_pointcloud_filters.cpp:136-202): repeated
+    5000-round RANSAC over vertical-normal points with inlier removal,
+    until the best round finds < 250 inliers (that last model is dropped)."""
+    up_dot = np.abs(nrm[:, 1])
+    weights = (up_dot < (1.0 - config.PLANE_DOT_THRESHOLD)).astype(np.float64)
+    models: List[PlaneModel] = []
+    while True:
+        if weights.sum() == 0:
+            break
+        dist = mshrng.MshDiscreteDistribution(weights, config.PLANE_RANSAC_SEED)
+        n_iter = config.PLANE_WALL_RANSAC_ITER
+        tri = np.empty((n_iter, 3), dtype=np.int64)
+        for i in range(n_iter):
+            a = dist.sample()
+            b = dist.sample()
+            while a == b:
+                b = dist.sample()
+            c = dist.sample()
+            while b == c:
+                c = dist.sample()
+            tri[i] = (a, b, c)
+        pa, pb, pc_ = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+        n = np.cross(pb - pa, pc_ - pa)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            n = n / np.linalg.norm(n, axis=1, keepdims=True)
+        vertical = np.abs(n[:, 1]) < (1.0 - config.PLANE_DOT_THRESHOLD)
+        sel = weights > 0.01
+        p = pts[sel]
+        counts = np.zeros(n_iter, dtype=np.int64)
+        for c in range(n_iter):
+            if not vertical[c] or not np.isfinite(n[c]).all():
+                continue
+            d = np.abs((p - pa[c]) @ n[c])
+            counts[c] = (d < config.PLANE_DIST_THRESHOLD).sum()
+        best = int(np.argmax(counts))
+        best_count = int(counts[best])
+        detected = best_count > 0
+        model = PlaneModel(center=pa[best].copy(), normal=n[best].copy(),
+                           n_inliers=best_count)
+        if detected:
+            models.append(model)
+        # remove inliers of the best model from the weight mask (:192-193)
+        if detected:
+            act = weights > 0.01
+            d = np.abs((pts - model.center) @ model.normal)
+            weights[act & (d < config.PLANE_DIST_THRESHOLD)] = 0.0
+        if best_count <= config.PLANE_WALL_COUNT_THRESHOLD:
+            break
+    # the do/while pops the final (below-threshold) model (:197)
+    if models:
+        models.pop()
+    return models
+
+
+def gather_inliers(models: List[PlaneModel], pts: np.ndarray, nrm: np.ndarray,
+                   dot_threshold: float, dist_threshold: float,
+                   check_validity: bool = False,
+                   check_extends: bool = False) -> None:
+    """rspf__gather_model_inliers (rs_pointcloud_filters.cpp:277-323):
+    points with |dot(n_i, plane_n)| > dot AND plane-distance < dist;
+    optionally restricted to the plane's extent rectangle."""
+    for m in models:
+        if check_validity and not m.valid:
+            continue
+        d = np.abs((pts - m.center) @ m.normal)
+        a = np.abs(nrm @ m.normal)
+        sel = (a > dot_threshold) & (d < dist_threshold)
+        idx = np.where(sel)[0]
+        if check_extends and len(idx):
+            poly = _extent_polygon(m)
+            keep = _points_in_convex_poly(pts[idx], poly)
+            idx = idx[keep]
+        m.inlier_ind = idx
+        m.n_inliers = len(idx)
+
+
+def _extent_polygon(m: PlaneModel) -> np.ndarray:
+    o = m.center
+    px = m.axes[:, 0] * m.extends[0]
+    py = m.axes[:, 1] * m.extends[1]
+    nx = m.axes[:, 0] * m.extends[2]
+    ny = m.axes[:, 1] * m.extends[3]
+    return np.stack([o + px + py, o + px + ny, o + nx + ny, o + nx + py])
+
+
+def _points_in_convex_poly(p: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """rspf__is_point_within_convex_poly (rs_pointcloud_filters.cpp:254-275):
+    consistent cross-product side test over consecutive edges."""
+    ok = np.ones(len(p), dtype=bool)
+    nv = len(poly)
+    for i in range(nv - 1):
+        a, b, c = poly[i], poly[i + 1], poly[(i + 2) % nv]
+        v1 = b - a
+        n1 = np.cross(v1, c - b)
+        n2 = np.cross(v1[None, :], p - b)
+        ok &= (n2 @ n1) >= 0
+    return ok
+
+
+def split_connected_components(models: List[PlaneModel], pts: np.ndarray
+                               ) -> List[PlaneModel]:
+    """rspf__split_by_connected_components (rs_pointcloud_filters.cpp:325-436):
+    union-find over an 8-NN 0.05-radius graph of each model's inliers;
+    emit one model per component, in first-occurrence order."""
+    out: List[PlaneModel] = []
+    for m in models:
+        if m.inlier_ind is None or len(m.inlier_ind) == 0:
+            continue
+        cur = pts[m.inlier_ind]
+        grid = native.HostGrid(cur, config.PLANE_CC_RADIUS)
+        idx, _, cnt = grid.radius_search(cur, config.PLANE_CC_RADIUS,
+                                         config.PLANE_CC_MAX_NN)
+        parent = np.arange(len(cur))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # the reference skips each query's first neighbor (itself, j from 1)
+        for i in range(len(cur)):
+            for j in range(1, cnt[i]):
+                a, b = find(i), find(int(idx[i, j]))
+                if a != b:
+                    parent[a] = b
+        roots = np.array([find(i) for i in range(len(cur))])
+        _, first = np.unique(roots, return_index=True)
+        for r in roots[np.sort(first)]:
+            sel = roots == r
+            nm = PlaneModel(center=m.center.copy(), normal=m.normal.copy(),
+                            n_inliers=int(sel.sum()),
+                            inlier_ind=m.inlier_ind[sel])
+            out.append(nm)
+    return out
+
+
+def refine_models(models: List[PlaneModel], pts: np.ndarray,
+                  nrm: np.ndarray) -> None:
+    """rspf__refine_plane_models (rs_pointcloud_filters.cpp:438-490):
+    average center/normal, build in-plane axes, compute extent rectangle."""
+    for m in models:
+        ii = m.inlier_ind
+        m.n_inliers = len(ii)
+        m.center = pts[ii].mean(axis=0)
+        nn = nrm[ii].mean(axis=0)
+        m.normal = nn / max(np.linalg.norm(nn), 1e-30)
+        axes = np.zeros((3, 3), dtype=np.float64)
+        axes[:, 2] = m.normal
+        ref_axis = (np.array([0.0, 0, 1]) if m.normal[1] > 0.8
+                    else np.array([0.0, 1, 0]))
+        a0 = np.cross(ref_axis, axes[:, 2])
+        a0 /= max(np.linalg.norm(a0), 1e-30)
+        a1 = np.cross(a0, axes[:, 2])
+        a1 /= max(np.linalg.norm(a1), 1e-30)
+        axes[:, 0] = a0
+        axes[:, 1] = a1
+        m.axes = axes
+        local = (pts[ii] - m.center) @ axes
+        m.extends = np.array([local[:, 0].max(), local[:, 1].max(),
+                              local[:, 0].min(), local[:, 1].min()])
+
+
+def detect_planes(scene) -> List[PlaneModel]:
+    """rspf_detect_planes (rs_pointcloud_filters.cpp:493-528): RANSAC at
+    level 2, inlier gathering + CC split + refine at level 0."""
+    lvl = config.PLANE_DETECT_LVL
+    pts2, nrm2 = scene.pos(lvl), scene.nrm(lvl)
+    models = detect_floor(pts2, nrm2) + detect_walls(pts2, nrm2)
+    print(f"RSPF_PLANE_DETECTOR: Found {len(models)} large planes.")
+    pts0, nrm0 = scene.pos(0), scene.nrm(0)
+    gather_inliers(models, pts0, nrm0, config.PLANE_DOT_THRESHOLD,
+                   config.PLANE_INLIER_DIST)
+    models = split_connected_components(models, pts0)
+    refine_models(models, pts0, nrm0)
+    print(f"RSPF_PLANE_DETECTOR: Split into {len(models)} connected components.")
+    return models
+
+
+def compute_plane_features(scene, models: List[PlaneModel]) -> None:
+    """rspf_compute_plane_features (rs_pointcloud_filters.cpp:530-565)."""
+    for m in models:
+        m.normal_up_dot = float(m.normal[1])
+        m.count = m.n_inliers
+        corners = _extent_polygon(m)
+        m.max_y = float(corners[:, 1].max())
+        q = scene.levels[0]["qualities"][m.inlier_ind]
+        # the reference sums quality floats into a size_t (truncation);
+        # qualities are exactly 0/1 here so a plain mean matches
+        m.saliency = float(q.astype(np.int64).sum()) / max(m.count, 1)
+
+
+def classify_planes(scene, models: List[PlaneModel]) -> None:
+    """rspf_classify_planes (rs_pointcloud_filters.cpp:568-614): label
+    level-0 inliers of accepted planes as wall (1) / floor (2), instance =
+    plane index, quality 0."""
+    lvl0 = scene.levels[0]
+    for i, m in enumerate(models):
+        m.valid = False
+        cur = 0
+        if m.count >= config.PLANE_CLASSIFY_INLIER_THRESHOLD:
+            if m.normal_up_dot > config.PLANE_CLASSIFY_DOT:
+                cur = 2  # floor
+            elif (m.saliency < config.PLANE_CLASSIFY_SALIENCY
+                  and m.max_y >= config.PLANE_CLASSIFY_HEIGHT):
+                cur = 1  # wall
+        if cur != 0:
+            m.valid = True
+            lvl0["class_ids"][m.inlier_ind] = cur
+            lvl0["instance_ids"][m.inlier_ind] = i
+            lvl0["qualities"][m.inlier_ind] = 0.0
+
+
+def relabel_walls_and_floors(db, scene, models: List[PlaneModel]) -> None:
+    """rspf_relabel_walls_and_floors (rs_pointcloud_filters.cpp:617-671):
+    re-gather inliers of valid planes at level 1 (with extent check) and
+    rewrite unlabelled/overflow ids."""
+    lvl = config.RELABEL_LVL
+    pts, nrm = scene.pos(lvl), scene.nrm(lvl)
+    gather_inliers(models, pts, nrm, config.PLANE_DOT_THRESHOLD,
+                   config.RELABEL_DIST, check_validity=True,
+                   check_extends=True)
+    floor_idx = db.class_idx("floor")
+    wall_idx = db.class_idx("wall")
+    unlabelled_idx = db.class_idx("unlabelled")
+    L = scene.levels[lvl]
+    for m in models:
+        if not m.valid or m.inlier_ind is None:
+            continue
+        ii = m.inlier_ind
+        inst = L["instance_ids"][ii]
+        cls = L["class_ids"][ii]
+        if m.normal_up_dot > config.RELABEL_DOT:
+            inst = np.where(inst >= config.MAX_INSTANCES, 0, inst)
+            cls = np.where(cls == unlabelled_idx, floor_idx, cls)
+        else:
+            inst = np.where(inst >= config.MAX_INSTANCES, 1, inst)
+            cls = np.where(cls == unlabelled_idx, wall_idx, cls)
+        L["instance_ids"][ii] = inst
+        L["class_ids"][ii] = cls

@@ -1,0 +1,137 @@
+"""Batched pose-hypothesis alignment scoring — hot loop #1 of the pipeline.
+
+The reference scores one (object, pose) at a time with OpenMP radius
+searches (mgs_compute_object_alignment_score,
+apps/pose_proposal/pose_proposal.cpp:93-158) inside a triple host loop over
+(grid cell x, grid cell z, angle) (mgs__initial_pose_proposals, :170-254).
+Here ALL hypotheses of an object are scored in one device launch: transform
+(H, P, 3) points, run the fused gated nearest-neighbor search against the
+scene level-1 grid, reduce per-hypothesis.
+
+Per-point score (pose_proposal.cpp:127-156): for the nearest in-radius scene
+point whose normal passes the 35-degree gate,
+
+    score = 0.05 * exp(-angle^2 / (2 * 0.5^2)) + 0.95 * exp(-d^2 / (2 * sigma^2))
+
+with radius = sigma = 0.1 (search_radii[search_lvl=1], :98-101); unmatched
+points contribute 0; the hypothesis score is the mean over all object
+points at the query level.
+
+Known deviation from the reference: the reference caps its radius search at
+the 64 nearest neighbors (:179), so a point whose 64 nearest scene points
+all fail the normal gate scores 0 even when a farther in-radius point would
+pass; we search the full radius. This inflates scores slightly at surface
+boundaries; parity is gated on pipeline metrics (mAP), not on score bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from . import hashgrid
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def score_hypotheses(grid: hashgrid.HashGrid, obj_pts: jax.Array,
+                     obj_nrm: jax.Array, obj_mask: jax.Array,
+                     hyps: jax.Array, radius, sigma,
+                     chunk: int = 2048) -> jax.Array:
+    """Score H pose hypotheses for one object.
+
+    Args:
+      grid: scene search grid (level 1, normals attached).
+      obj_pts/obj_nrm: (P, 3) object points at the query level (padded).
+      obj_mask: (P,) validity mask.
+      hyps: (H, 4, 4) hypothesis transforms.
+      radius/sigma: search radius and distance sigma (both 0.1 in the
+        pipeline; they equal search_radii[search_lvl]).
+
+    Returns: (H,) scores.
+    """
+    H = hyps.shape[0]
+    P = obj_pts.shape[0]
+    R = hyps[:, :3, :3]
+    t = hyps[:, :3, 3]
+    q = jnp.einsum("hij,pj->hpi", R, obj_pts) + t[:, None, :]
+    qn = jnp.einsum("hij,pj->hpi", R, obj_nrm)
+
+    cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
+    idx, d2, dot = hashgrid.nearest_gated(
+        grid, q.reshape(H * P, 3), qn.reshape(H * P, 3), radius, cos_gate,
+        chunk=chunk)
+    found = (idx >= 0).reshape(H, P) & obj_mask[None, :]
+    d2 = d2.reshape(H, P)
+    dot = jnp.clip(dot.reshape(H, P), 0.0, 1.0)
+
+    angle = jnp.arccos(dot)
+    normals_compat = jnp.exp(-(angle * angle) /
+                             (2.0 * config.SCORE_NORMAL_SIGMA ** 2))
+    dist_compat = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    per_pt = (config.SCORE_ALPHA * normals_compat
+              + (1.0 - config.SCORE_ALPHA) * dist_compat)
+    per_pt = jnp.where(found, per_pt, 0.0)
+    n = jnp.maximum(jnp.sum(obj_mask), 1)
+    return jnp.sum(per_pt, axis=1) / n
+
+
+def grid_search_hypotheses(bbox_min: np.ndarray, bbox_max: np.ndarray,
+                           spacing: float = config.GRID_SEARCH_SPACING,
+                           n_angles: int = config.GRID_SEARCH_N_ANGLES
+                           ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Generate the (x, z, theta) hypothesis lattice over the scene bbox.
+
+    Replicates the reference's f32 accumulation loops
+    (pose_proposal.cpp:213-222): ox from -spacing while < length + spacing,
+    angles from 0 while < 2*pi, each accumulated in float32.
+
+    Returns (hyps (H,4,4) f32, cell_of_hyp (H,) int — which (ox,oz) cell
+    each hypothesis belongs to, n_cells).
+    """
+    length_x = np.float32(bbox_max[0]) - np.float32(bbox_min[0])
+    length_z = np.float32(bbox_max[2]) - np.float32(bbox_min[2])
+    sp = np.float32(spacing)
+
+    def f32_range(limit):
+        vals = []
+        v = np.float32(-sp)
+        while v < limit:
+            vals.append(v)
+            v = np.float32(v + sp)
+        return np.array(vals, dtype=np.float32)
+
+    oxs = f32_range(np.float32(length_x + sp))
+    ozs = f32_range(np.float32(length_z + sp))
+    inc = np.float32(2.0 * np.pi / n_angles)
+    angles = []
+    a = np.float32(0.0)
+    while a < np.float32(2.0 * np.pi):
+        angles.append(a)
+        a = np.float32(a + inc)
+    angles = np.array(angles, dtype=np.float32)
+
+    n_cells = len(oxs) * len(ozs)
+    ca, sa = np.cos(angles), np.sin(angles)
+    # rotation about +Y (msh_rotate with (0,1,0), pose_proposal.cpp:221)
+    rots = np.zeros((len(angles), 4, 4), dtype=np.float32)
+    rots[:, 0, 0] = ca
+    rots[:, 0, 2] = sa
+    rots[:, 2, 0] = -sa
+    rots[:, 2, 2] = ca
+    rots[:, 1, 1] = 1
+    rots[:, 3, 3] = 1
+
+    ox_g, oz_g = np.meshgrid(oxs, ozs, indexing="ij")
+    tx = (np.float32(bbox_min[0]) + ox_g.ravel()).astype(np.float32)
+    tz = (np.float32(bbox_min[2]) + oz_g.ravel()).astype(np.float32)
+
+    hyps = np.tile(rots[None, :, :, :], (n_cells, 1, 1, 1))
+    hyps[:, :, 0, 3] = tx[:, None]
+    hyps[:, :, 1, 3] = 0.0
+    hyps[:, :, 2, 3] = tz[:, None]
+    cell_of_hyp = np.repeat(np.arange(n_cells), len(angles))
+    return hyps.reshape(-1, 4, 4), cell_of_hyp, n_cells

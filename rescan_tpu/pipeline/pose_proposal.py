@@ -1,0 +1,285 @@
+"""pose_proposal — multiresolution grid search for object pose candidates.
+
+CLI-compatible with the reference binary (apps/pose_proposal/main.cpp):
+
+    pose_proposal <rsdb_filename> <scene_filename> <output_filename> [-v]
+
+TPU-native restructuring of the reference's host loops:
+
+* initial search (reference: per-object triple loop over (ox, oz, theta)
+  with one OpenMP radius-search scoring call each,
+  pose_proposal.cpp:170-254): here the full (cells x angles) hypothesis
+  lattice of an object is scored in ONE device launch per object
+  (ops/score.py), and the per-cell best-angle + threshold selection is a
+  masked segment-max.
+* verification at levels 3, 2 (reference: :256-303): one batched rescore
+  per object per level.
+* ICP refinement (reference: per-proposal icp_align rebuilding search
+  structures each call, main.cpp:178-204): ALL (object, proposal) pairs
+  refined in one batched ICP launch against a single scene grid, then
+  rescored at level 1 in one launch per object.
+* NMS (reference: :371-452): greedy keep-max on host with exact voxel
+  overlap factors (ops/voxel.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from .. import config
+from ..core import database
+from ..core.pointcloud import PointCloud
+from ..io import paths, rsdb as rsdbio
+from ..ops import hashgrid, icp, score, voxel
+
+
+def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
+                             verbose: bool = False
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Coarse-to-fine grid search for one object: returns (poses (K,4,4),
+    scores (K,)) surviving all three levels (4 -> 3 -> 2)."""
+    import jax.numpy as jnp
+
+    lvl = config.GRID_SEARCH_LEVELS[0]
+    hyps, cell_of_hyp, n_cells = score.grid_search_hypotheses(
+        scene_bbox[0], scene_bbox[1])
+
+    radius = sigma = config.SCORE_SEARCH_RADII[config.SCORE_SEARCH_LVL]
+
+    def batch_score(mats: np.ndarray, query_lvl: int) -> np.ndarray:
+        pts = obj.pos(query_lvl)
+        nrm = obj.nrm(query_lvl)
+        p = len(pts)
+        s = np.asarray(score.score_hypotheses(
+            scene_grid, jnp.asarray(pts), jnp.asarray(nrm),
+            jnp.ones(p, bool), jnp.asarray(mats), radius, sigma))
+        return s
+
+    # level 4: full lattice, keep best angle per cell above threshold
+    # (pose_proposal.cpp:213-243)
+    t0 = time.perf_counter()
+    s4 = batch_score(hyps, lvl)
+    best = {}
+    for h in range(len(hyps)):
+        c = cell_of_hyp[h]
+        if s4[h] > best.get(c, (0.0, -1))[0]:
+            best[c] = (s4[h], h)
+    thr = config.SCORE_THRESHOLDS[lvl]
+    keep = [h for c, (sc, h) in sorted(best.items()) if sc > thr]
+    poses = hyps[keep]
+    scores = s4[keep]
+    if verbose:
+        print(f"POSE_PROPOSAL:         --> Found {len(poses)} potential poses "
+              f"in {time.perf_counter() - t0:f}s. "
+              f"(Max score: {s4.max() if len(s4) else -1e9:f})")
+
+    # levels 3, 2: rescore still-valid poses, mark below-threshold as -1;
+    # -1 entries are carried along (they survive the final copy's
+    # |score| > 1e-6 filter, mgs_propose_poses :348-359, and die in NMS
+    # via its score < 0.01 rule — unless an object has ONLY invalid poses,
+    # in which case NMS keeps the max like the reference does)
+    scores = scores.astype(np.float32)
+    for vlvl in config.GRID_SEARCH_LEVELS[1:]:
+        if len(poses) == 0:
+            break
+        valid = scores > 0.0
+        if valid.any():
+            sv = batch_score(poses[valid], vlvl)
+            thr = config.SCORE_THRESHOLDS[vlvl]
+            scores[valid] = np.where(sv > thr, sv, -1.0).astype(np.float32)
+        if verbose:
+            print(f"POSE_PROPOSAL:         --> Level {vlvl}: "
+                  f"{int((scores > 0).sum())} poses")
+
+    alive = np.abs(scores) > 1e-6 if len(poses) else np.zeros(0, bool)
+    return poses[alive], scores[alive]
+
+
+def non_maxima_suppression(db: rsdbio.Rsdb,
+                           proposals: List[Tuple[np.ndarray, np.ndarray]],
+                           dist_threshold: float = config.NMS_DIST_THRESHOLD,
+                           verbose: bool = False):
+    """Greedy NMS per object (mgs_non_maxima_suppresion,
+    pose_proposal.cpp:371-452): keep max-score detection, discard others
+    with centroid distance < 0.2 m, voxel overlap > 0.5, or score < 0.01."""
+    out = []
+    for i, (poses, scores) in enumerate(proposals):
+        n = len(poses)
+        if n == 0:
+            out.append((poses, scores))
+            continue
+        shape = db.objects[i].cloud
+        c = shape.centroid(0)
+        ch = np.concatenate([c, [1.0]]).astype(np.float32)
+        marks = np.zeros(n, dtype=np.int8)  # 0 unmarked, 1 keep, 2 discard
+        centers = poses @ ch  # (n, 4)
+        while (marks == 0).any():
+            unm = np.where(marks == 0)[0]
+            mx = unm[np.argmax(scores[unm])]
+            marks[mx] = 1
+            for j in unm:
+                if j == mx or marks[j] != 0:
+                    continue
+                dist = np.linalg.norm(centers[mx, :3] - centers[j, :3])
+                if scores[j] < config.NMS_MIN_SCORE or dist < dist_threshold:
+                    marks[j] = 2
+                    continue
+                ov = voxel.overlap_factor(shape, poses[mx], shape, poses[j])
+                if ov > config.NMS_OVERLAP_THRESHOLD:
+                    marks[j] = 2
+        keep = marks == 1
+        if verbose:
+            print(f"POSE_PROPOSAL: Non-max suppress. --> Keep: {int(keep.sum()):5d}"
+                  f" Discard: {int((marks == 2).sum()):5d} Unmarked: 0")
+        out.append((poses[keep], scores[keep]))
+    return out
+
+
+def run(rsdb_filename: str, scene_filename: str, output_filename: str,
+        verbose: bool = False) -> rsdbio.Rsdb:
+    import jax.numpy as jnp
+
+    t_start = time.perf_counter()
+    db = database.load_database(rsdb_filename, load_pointclouds=True,
+                                verbose=verbose)
+    db.model_folder = paths.model_folder_name(output_filename)
+    if verbose:
+        print(f"IO:   N. Objects:      {len(db.objects)}")
+        print(f"IO:   N. Scenes:       {len(db.scenes)}")
+        print(f"IO:   N. Arrangements: {len(db.arrangements)}")
+
+    scn_cloud = PointCloud.from_ply(scene_filename)
+    scene = rsdbio.RsScene(
+        uidx=len(db.scenes), arrangement_idx=len(db.scenes),
+        scn_filename=scene_filename,
+        pose_proposal_filename=paths.pose_proposal_filename(output_filename),
+        cloud=scn_cloud)
+    db.scenes.append(scene)
+    db.arrangements.append([])
+    db.proposed_poses.append(None)
+    db.proposed_scores.append(None)
+
+    # one scene search grid at level 1 serves every scoring pass
+    # (search_lvl = 1 throughout, pose_proposal.cpp:178,:263)
+    slvl = config.SCORE_SEARCH_LVL
+    scene_grid = hashgrid.build_grid(scn_cloud.pos(slvl),
+                                     config.SCORE_SEARCH_RADII[slvl],
+                                     normals=scn_cloud.nrm(slvl))
+    bbox = scn_cloud.bbox
+
+    # --- multiresolution grid search per dynamic object ---
+    proposals: List[Tuple[np.ndarray, np.ndarray]] = []
+    for i, obj in enumerate(db.objects):
+        if db.is_object_static(i):
+            proposals.append((np.zeros((0, 4, 4), np.float32),
+                              np.zeros(0, np.float32)))
+            continue
+        name = db.class_name(obj.class_idx)
+        if verbose:
+            print(f"POSE_PROPOSAL:      Searching for transformation for "
+                  f"model {name}.{obj.uidx:03d} ({i})...")
+        proposals.append(propose_poses_for_object(obj.cloud, scene_grid,
+                                                  bbox, verbose))
+
+    proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+
+    # --- copy poses from ALL previous arrangements as proposals, score 10
+    # (apps/pose_proposal/main.cpp:163-173) ---
+    prop_lists = [[p for p in poses] for poses, _ in proposals]
+    score_lists = [[s for s in scores] for _, scores in proposals]
+    for arrangement in db.arrangements:
+        for plc in arrangement:
+            prop_lists[plc.object_idx].append(np.asarray(plc.pose, np.float32))
+            score_lists[plc.object_idx].append(config.PRIOR_POSE_SCORE)
+
+    # --- batched ICP refinement of every proposal of every dynamic object
+    # (main.cpp:176-204: obj/scene level 2, max_dist 0.1, 60 deg; rescore
+    # at query level 1) ---
+    icp_lvl = config.REFINE_ICP_LVL
+    icp_grid = hashgrid.build_grid(scn_cloud.pos(icp_lvl),
+                                   config.REFINE_ICP_MAX_DIST,
+                                   normals=scn_cloud.nrm(icp_lvl))
+    flat_T, owners = [], []
+    for i in range(len(db.objects)):
+        if db.is_object_static(i) or not prop_lists[i]:
+            continue
+        for k, T in enumerate(prop_lists[i]):
+            flat_T.append(T)
+            owners.append((i, k))
+    if flat_T:
+        by_obj = {}
+        for b, (i, k) in enumerate(owners):
+            by_obj.setdefault(i, []).append((b, k))
+        # pad object points to a common size for a single ICP launch
+        pts_l, nrm_l = [], []
+        for b, (i, k) in enumerate(owners):
+            pts_l.append(db.objects[i].cloud.pos(icp_lvl))
+            nrm_l.append(db.objects[i].cloud.nrm(icp_lvl))
+        pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l)
+        T_ref, _ = icp.icp_align_batched(
+            jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+            icp_grid, jnp.asarray(np.stack(flat_T)),
+            config.REFINE_ICP_MAX_DIST,
+            np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
+        T_ref = np.asarray(T_ref)
+
+        # rescore refined poses at query level 1 in one launch per object
+        qlvl = config.REFINE_SCORE_QUERY_LVL
+        radius = sigma = config.SCORE_SEARCH_RADII[slvl]
+        for i, entries in by_obj.items():
+            name = db.class_name(db.objects[i].class_idx)
+            if verbose:
+                print(f"POSE_PROPOSAL:   Refining poses for object "
+                      f"{name}.{db.objects[i].uidx:03d}")
+            obj = db.objects[i].cloud
+            mats = np.stack([T_ref[b] for b, _ in entries])
+            s = np.asarray(score.score_hypotheses(
+                scene_grid, jnp.asarray(obj.pos(qlvl)),
+                jnp.asarray(obj.nrm(qlvl)),
+                jnp.ones(obj.n_pts(qlvl), bool), jnp.asarray(mats),
+                radius, sigma))
+            for (b, k), sc, Tn in zip(entries, s, mats):
+                prop_lists[i][k] = Tn
+                score_lists[i][k] = float(sc)
+
+    proposals = [(np.stack(p) if p else np.zeros((0, 4, 4), np.float32),
+                  np.asarray(s, np.float32)) for p, s in
+                 zip(prop_lists, score_lists)]
+    proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+
+    # sort by score descending (mgs_sort_poses, pose_proposal.cpp:463-475)
+    sorted_props = []
+    for poses, scores in proposals:
+        order = np.argsort(-scores, kind="stable")
+        sorted_props.append((poses[order], scores[order]))
+    print(f"POSE_PROPOSAL: Computed poses in "
+          f"{time.perf_counter() - t_start:f}s.")
+
+    rsdbio.save_rsdb(output_filename, db, save_objects=True)
+    rsdbio.save_pose_proposals(scene.pose_proposal_filename,
+                               [p for p, _ in sorted_props],
+                               [s for _, s in sorted_props])
+    return db
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pose_proposal",
+        description="Outputs pose proposals using multiresolution grid search")
+    ap.add_argument("rsdb_filename")
+    ap.add_argument("scene_filename")
+    ap.add_argument("output_filename")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    args = ap.parse_args(argv)
+    run(args.rsdb_filename, args.scene_filename, args.output_filename,
+        args.verbose)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
