@@ -1,0 +1,256 @@
+"""Label transfer from placed objects and multi-label MRF smoothing.
+
+Label transfer mirrors rspf_arrangement_to_labels
+(lib/rs/rs_pointcloud_filters.cpp:780-879): placements sorted dynamic-first
+(by (is_static << 10 | class_idx)), each placement claims scene points whose
+inverse-transformed position has a 1-NN within radius in the object cloud
+AND whose normal is within 70 degrees (|dot|); closest claim wins via a
+running min-distance; the static pass runs at 1.5x radius without resetting
+the distances (prioritize_static = false in the pipeline,
+apps/segment_transfer/main.cpp:389).
+
+Smoothing substitutes the reference's gco alpha-beta-swap graph cut
+(rspf_smooth_labels, :882-989) with a TPU-native mean-field relaxation +
+masked ICM polish over the identical energy:
+
+    E = sum_i unary_i(l_i) + sum_(ij in E) int(w_ij * 10) * 10 * [l_i != l_j]
+    unary: 0 for the current label else 30 (dynamic) / 15 (static) /
+           1 (unlabelled);  w_ij = (1 - (d2/(4 r^2))^15) * clamp(dot,0,1)^16
+
+This substitution is the designated algorithm change of the rebuild
+(BASELINE.json north star); fidelity is gated on end metrics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .. import config
+from ..io.rsdb import Placement, Rsdb
+from ..core import native
+
+
+def _static_sort_key(db: Rsdb, p: Placement) -> int:
+    """rsfp__static_plcmnt_cmp (rs_pointcloud_filters.cpp:724-736):
+    ascending (is_static << 10 | class_idx). The reference uses unstable
+    qsort; we use a stable sort (tie order within a key is unspecified
+    there anyway)."""
+    return (int(db.is_object_static(p.object_idx)) << 10) | \
+        db.objects[p.object_idx].class_idx
+
+
+def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
+                          radius: float = config.LABEL_TRANSFER_RADIUS,
+                          prioritize_static: bool = False) -> None:
+    """Write class/instance ids into scene level 1 from the arrangement."""
+    lvl = config.LABEL_LVL
+    pts = scene.pos(lvl)
+    nrm = scene.nrm(lvl)
+    n = len(pts)
+    labels = np.zeros(n, np.int32)
+    min_d2 = np.full(n, 1e9, np.float32)
+
+    order = sorted(range(len(arrangement)),
+                   key=lambda i: _static_sort_key(db, arrangement[i]))
+    sorted_arr = [arrangement[i] for i in order]
+    first_static = 0
+    for i, p in enumerate(sorted_arr):
+        if db.is_object_static(p.object_idx):
+            first_static = i
+            break
+    # quirk preserved: if no placement is static, first_static stays 0 and
+    # the "static" pass (1.5x radius) covers the whole arrangement
+    # (rs_pointcloud_filters.cpp:830-848)
+
+    cos_gate = np.cos(np.deg2rad(config.LABEL_TRANSFER_MAX_ANGLE_DEG))
+
+    def assign(start: int, end: int, r: float):
+        for i in range(start, end):
+            p = sorted_arr[i]
+            obj = db.objects[p.object_idx].cloud
+            inv = np.linalg.inv(p.pose.astype(np.float64)).astype(np.float32)
+            q = pts @ inv[:3, :3].T + inv[:3, 3]
+            # normal "matrix" is the TRANSPOSE of the pose
+            # (rs_pointcloud_filters.cpp:751): R^T = R^-1 for rigid poses
+            qn = nrm @ p.pose[:3, :3].astype(np.float32)
+            # bbox prefilter: only scene points near the object can match
+            bmin = obj.pos(lvl).min(axis=0) - r
+            bmax = obj.pos(lvl).max(axis=0) + r
+            cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
+            if len(cand) == 0:
+                continue
+            grid = native.HostGrid(obj.pos(lvl), r)
+            idx, d2, cnt = grid.radius_search(q[cand], r, 1)
+            hit = cnt > 0
+            ci = cand[hit]
+            nn = idx[hit, 0]
+            nd2 = d2[hit, 0]
+            better = nd2 < min_d2[ci]
+            ci, nn, nd2 = ci[better], nn[better], nd2[better]
+            onrm = obj.nrm(lvl)[nn]
+            qn_sel = qn[ci]
+            qn_n = qn_sel / np.maximum(
+                np.linalg.norm(qn_sel, axis=1, keepdims=True), 1e-30)
+            on_n = onrm / np.maximum(
+                np.linalg.norm(onrm, axis=1, keepdims=True), 1e-30)
+            dot = np.abs(np.sum(qn_n * on_n, axis=1))
+            ok = dot > cos_gate  # angle < 70 deg
+            ci, nd2 = ci[ok], nd2[ok]
+            min_d2[ci] = nd2
+            labels[ci] = i + 1
+
+    assign(0, first_static, radius)
+    if prioritize_static:
+        min_d2[:] = 1e9
+        r2 = radius
+    else:
+        r2 = config.LABEL_TRANSFER_STATIC_RADIUS_SCALE * radius
+    assign(first_static, len(sorted_arr), r2)
+
+    unlabelled_idx = db.class_idx("unlabelled")
+    cls = np.full(n, unlabelled_idx, np.int32)
+    ins = np.full(n, config.MAX_INSTANCES, np.int32)
+    for i, p in enumerate(sorted_arr):
+        sel = labels == (i + 1)
+        cls[sel] = db.objects[p.object_idx].class_idx
+        ins[sel] = p.uidx
+    scene.levels[lvl]["class_ids"] = cls
+    scene.levels[lvl]["instance_ids"] = ins
+
+
+# ---------------------------------------------------------------------------
+# MRF smoothing
+# ---------------------------------------------------------------------------
+
+def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
+    """8-NN 0.05-radius edge graph with the reference's edge weights
+    (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722).
+    Returns (edges (E,2) int32 deduped unordered pairs, weights (E,))."""
+    lvl = config.LABEL_LVL
+    pts = scene.pos(lvl)
+    nrm = scene.nrm(lvl)
+    r = config.SMOOTH_RADIUS
+    grid = native.HostGrid(pts, r)
+    idx, d2, cnt = grid.radius_search(pts, r, config.SMOOTH_MAX_NN)
+    n, k = idx.shape
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    dst = idx.reshape(-1).astype(np.int64)
+    dd = d2.reshape(-1)
+    # the reference skips each query's first (sorted) neighbor — itself
+    valid = (dst >= 0) & (np.arange(k)[None, :].repeat(n, 0).reshape(-1) >= 1)
+    src, dst, dd = src[valid], dst[valid], dd[valid]
+    r2 = np.float32(r * r)
+    dist_cost = 1.0 - (dd / (4.0 * r2)) ** config.SMOOTH_DIST_EXP
+    dots = np.clip(np.sum(nrm[src] * nrm[dst], axis=1), 0.0, 1.0)
+    w = dist_cost * dots ** config.SMOOTH_ANGLE_EXP
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    key = a * n + b
+    _, first = np.unique(key, return_index=True)
+    return (np.stack([src[first], dst[first]], 1).astype(np.int32),
+            w[first].astype(np.float32))
+
+
+def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
+                  n_icm: int = 8) -> None:
+    """Mean-field + masked-ICM smoothing of level-1 instance labels over
+    the reference's unary + weighted-Potts energy
+    (rspf_smooth_labels, rs_pointcloud_filters.cpp:882-989)."""
+    import jax
+    import jax.numpy as jnp
+
+    lvl = config.LABEL_LVL
+    L = scene.levels[lvl]
+    n = len(L["class_ids"])
+    inst = L["instance_ids"]
+    cls = L["class_ids"]
+    unlabelled_idx = db.class_idx("unlabelled")
+
+    valid_inst = inst[inst < config.MAX_INSTANCES]
+    max_uidx = int(valid_inst.max()) if len(valid_inst) else -1
+    n_labels = max_uidx + 5
+    if n_labels < 2:
+        return
+
+    labels0 = np.where(cls == unlabelled_idx, 0, inst + 1).astype(np.int32)
+    labels0 = np.clip(labels0, 0, n_labels - 1)
+    # label -> (class, instance) maps built like the reference (last point
+    # of each label wins, :908-917)
+    label_to_class = np.full(n_labels, unlabelled_idx, np.int32)
+    label_to_inst = np.full(n_labels, config.MAX_INSTANCES, np.int32)
+    label_to_class[labels0] = cls
+    label_to_inst[labels0] = inst
+
+    # unary: 0 for own label, else 30/15/1 by the point's label class
+    is_static = np.array([db.is_class_static(int(c))
+                          for c in label_to_class])
+    cost_of_point = np.where(is_static[labels0],
+                             config.SMOOTH_COST_STATIC,
+                             config.SMOOTH_COST_DYNAMIC)
+    cost_of_point = np.where(labels0 == 0, config.SMOOTH_COST_UNLABELLED,
+                             cost_of_point).astype(np.float32)
+
+    edges, w = build_smoothing_graph(scene)
+    # gco receives int(w * edge_cost) as the neighbor weight, multiplied by
+    # the Potts table value edge_cost (:942-966)
+    pair_w = (np.floor(w * config.SMOOTH_EDGE_COST).astype(np.float32)
+              * config.SMOOTH_EDGE_COST)
+
+    e_src = jnp.asarray(edges[:, 0])
+    e_dst = jnp.asarray(edges[:, 1])
+    e_w = jnp.asarray(pair_w)
+    unary_cost = jnp.asarray(cost_of_point)
+    own = jnp.asarray(labels0)
+
+    def unary_matrix():
+        # (n, n_labels): 0 at own label else cost_of_point
+        u = jnp.broadcast_to(unary_cost[:, None], (n, n_labels))
+        return u * (1 - jax.nn.one_hot(own, n_labels, dtype=jnp.float32))
+
+    U = unary_matrix()
+
+    @jax.jit
+    def meanfield(Q):
+        def body(Q, _):
+            # neighbor agreement per label: sum_j w_ij * Q_j(l)
+            agree = jnp.zeros((n, n_labels), jnp.float32)
+            agree = agree.at[e_src].add(e_w[:, None] * Q[e_dst])
+            agree = agree.at[e_dst].add(e_w[:, None] * Q[e_src])
+            wsum = jnp.zeros((n,), jnp.float32)
+            wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
+            E = U + (wsum[:, None] - agree)
+            Qn = jax.nn.softmax(-E / 4.0, axis=1)
+            return 0.5 * Q + 0.5 * Qn, None
+        Q, _ = jax.lax.scan(body, Q, None, length=n_meanfield)
+        return Q
+
+    Q0 = jax.nn.one_hot(own, n_labels, dtype=jnp.float32)
+    Q = meanfield(Q0)
+    labels = np.asarray(jnp.argmax(Q, axis=1)).astype(np.int32)
+
+    # masked ICM polish: random halves updated per sweep (deterministic)
+    rng = np.random.default_rng(config.SA_SEED)
+    lab = jnp.asarray(labels)
+
+    @jax.jit
+    def icm_step(lab, mask):
+        agree = jnp.zeros((n, n_labels), jnp.float32)
+        oh_dst = jax.nn.one_hot(lab[e_dst], n_labels, dtype=jnp.float32)
+        oh_src = jax.nn.one_hot(lab[e_src], n_labels, dtype=jnp.float32)
+        agree = agree.at[e_src].add(e_w[:, None] * oh_dst)
+        agree = agree.at[e_dst].add(e_w[:, None] * oh_src)
+        wsum = jnp.zeros((n,), jnp.float32)
+        wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
+        E = U + (wsum[:, None] - agree)
+        best = jnp.argmin(E, axis=1).astype(lab.dtype)
+        return jnp.where(mask, best, lab)
+
+    for _ in range(n_icm):
+        mask = jnp.asarray(rng.random(n) < 0.5)
+        lab = icm_step(lab, mask)
+    labels = np.asarray(lab)
+
+    L["class_ids"] = label_to_class[labels].astype(np.int32)
+    L["instance_ids"] = label_to_inst[labels].astype(np.int32)

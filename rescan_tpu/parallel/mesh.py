@@ -1,0 +1,144 @@
+"""Device-mesh parallelism for the rescan pipeline.
+
+The reference is a single-process CPU pipeline whose only parallelism is
+OpenMP over hash-grid query batches (SURVEY.md §2.6). The TPU-native scaling
+axes are:
+
+* dp — the pose-HYPOTHESIS axis: the grid-search lattice and the ICP
+  refinement batch are embarrassingly parallel across chips.
+* sp — the POINT axis: per-hypothesis scores are means over object points,
+  so each chip scores a point shard and the mean reduces with one psum
+  over the ICI ring.
+
+Both are expressed with `shard_map` over a 2-D `jax.sharding.Mesh`; the
+scene search grid is replicated (it is read-only and small next to the
+hypothesis workload). No custom transport: XLA lowers the psum onto ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import config
+from ..ops import hashgrid
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              sp: int = 1) -> Mesh:
+    """A (dp, sp) mesh over the first n_devices devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    dp = n // sp
+    arr = np.array(devs[:dp * sp]).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def score_hypotheses_sharded(mesh: Mesh, grid: hashgrid.HashGrid,
+                             obj_pts: np.ndarray, obj_nrm: np.ndarray,
+                             hyps: np.ndarray, radius: float, sigma: float,
+                             chunk: int = 2048) -> np.ndarray:
+    """Score H hypotheses with hypotheses sharded over ``dp`` and object
+    points sharded over ``sp`` (partial per-point sums psum-reduced).
+
+    Returns (H,) scores, identical to ops.score.score_hypotheses up to
+    reduction order.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    H, P_ = len(hyps), len(obj_pts)
+    Hp = _round_up(max(H, 1), dp)
+    Pp = _round_up(max(P_, 1), sp)
+
+    hyps_p = np.zeros((Hp, 4, 4), np.float32)
+    hyps_p[:H] = hyps
+    hyps_p[H:, 0, 0] = hyps_p[H:, 1, 1] = hyps_p[H:, 2, 2] = hyps_p[H:, 3, 3] = 1
+    pts_p = np.zeros((Pp, 3), np.float32)
+    pts_p[:P_] = obj_pts
+    nrm_p = np.zeros((Pp, 3), np.float32)
+    nrm_p[:P_] = obj_nrm
+    mask_p = np.zeros((Pp,), bool)
+    mask_p[:P_] = True
+
+    cos_gate = float(np.cos(np.deg2rad(config.SCORE_MAX_ANGLE_DEG)))
+
+    def shard_fn(grid_, pts, nrm, mask, mats):
+        h = mats.shape[0]
+        p = pts.shape[0]
+        R = mats[:, :3, :3]
+        t = mats[:, :3, 3]
+        q = jnp.einsum("hij,pj->hpi", R, pts) + t[:, None, :]
+        qn = jnp.einsum("hij,pj->hpi", R, nrm)
+        idx, d2, dot = hashgrid.nearest_gated(
+            grid_, q.reshape(h * p, 3), qn.reshape(h * p, 3), radius,
+            cos_gate, chunk=chunk)
+        found = (idx >= 0).reshape(h, p) & mask[None, :]
+        d2 = d2.reshape(h, p)
+        dot = jnp.clip(dot.reshape(h, p), 0.0, 1.0)
+        ang = jnp.arccos(dot)
+        per_pt = (config.SCORE_ALPHA
+                  * jnp.exp(-(ang * ang) / (2 * config.SCORE_NORMAL_SIGMA ** 2))
+                  + (1 - config.SCORE_ALPHA)
+                  * jnp.exp(-d2 / (2 * sigma * sigma)))
+        per_pt = jnp.where(found, per_pt, 0.0)
+        # partial sums over this chip's point shard -> reduce over "sp"
+        psum = jax.lax.psum(jnp.sum(per_pt, axis=1), axis_name="sp")
+        cnt = jax.lax.psum(jnp.sum(mask), axis_name="sp")
+        return psum / jnp.maximum(cnt, 1)
+
+    grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(grid_specs, P("sp"), P("sp"), P("sp"), P("dp")),
+        out_specs=P("dp")))
+    out = fn(grid, jnp.asarray(pts_p), jnp.asarray(nrm_p),
+             jnp.asarray(mask_p), jnp.asarray(hyps_p))
+    return np.asarray(out)[:H]
+
+
+def icp_refine_sharded(mesh: Mesh, grid: hashgrid.HashGrid,
+                       pts_b: np.ndarray, nrm_b: np.ndarray,
+                       mask_b: np.ndarray, T_init: np.ndarray,
+                       max_dist: float, max_angle: float
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched ICP with the (object, proposal) batch sharded over all mesh
+    devices (dp*sp); each pair is independent so no collectives are needed
+    beyond the final gather."""
+    from ..ops import icp
+
+    n_dev = mesh.devices.size
+    B = len(T_init)
+    Bp = _round_up(max(B, 1), n_dev)
+
+    def pad(a, fill=0):
+        out = np.zeros((Bp,) + a.shape[1:], a.dtype)
+        out[:B] = a
+        return out
+
+    T_p = pad(np.asarray(T_init, np.float32))
+    T_p[B:] = np.eye(4, dtype=np.float32)
+
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("b",))
+
+    def shard_fn(grid_, pts, nrm, mask, T0):
+        return icp.icp_align_batched(pts, nrm, mask, grid_, T0,
+                                     max_dist, max_angle)
+
+    grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=flat,
+        in_specs=(grid_specs, P("b"), P("b"), P("b"), P("b")),
+        out_specs=(P("b"), P("b")),
+        check_vma=False))
+    T, err = fn(grid, jnp.asarray(pad(pts_b)), jnp.asarray(pad(nrm_b)),
+                jnp.asarray(pad(mask_b)), jnp.asarray(T_p))
+    return np.asarray(T)[:B], np.asarray(err)[:B]

@@ -1,0 +1,94 @@
+"""Full-sequence pipeline driver.
+
+Mirrors scripts/run_segmentation_pipeline.py: for every sequence in a scene
+list, bootstrap the database from the first GT scan, then per rescan run
+pose_proposal -> segment_transfer (-> Poisson model fusion when the
+external PoissonRecon/SurfaceTrimmer binaries are available). Unlike the
+reference (one OS process per stage, all state re-read from disk,
+common.py:27-29), stages here run in-process; all inter-stage files are
+still written so outputs stay drop-in compatible.
+
+    python -m rescan_tpu.pipeline.driver <scene_list> [--class_file F]
+        [--poisson_recon BIN --surface_trimmer BIN]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from . import create_eval_files, pose_proposal, seg2rsdb, segment_transfer
+from .fuse_models import fuse_models
+
+
+def list_subsequences(seq_gt_dir: str) -> List[str]:
+    subs = [os.path.splitext(f)[0] for f in os.listdir(seq_gt_dir)
+            if f.endswith(".ply")]
+    return sorted(subs)
+
+
+def run_sequence(seq_dir: str, class_file: str,
+                 poisson_recon: Optional[str] = None,
+                 surface_trimmer: Optional[str] = None,
+                 eval_folder: Optional[str] = None,
+                 verbose: bool = False) -> List[str]:
+    """Process one scene sequence; returns the list of produced .rsdb
+    files (one per timestep)."""
+    gt_dir = os.path.join(seq_dir, "gt_segmentation")
+    subs = list_subsequences(gt_dir)
+    if not subs:
+        raise FileNotFoundError(f"no .ply scans under {gt_dir}")
+
+    produced = []
+    first_ply = os.path.join(gt_dir, subs[0] + ".ply")
+    prev_rsdb = os.path.join(seq_dir, subs[0] + ".rsdb")
+    seg2rsdb.main([first_ply, class_file, prev_rsdb] +
+                  (["-v"] if verbose else []))
+    produced.append(prev_rsdb)
+
+    for sub in subs[1:]:
+        scan_ply = os.path.join(gt_dir, sub + ".ply")
+        pp_rsdb = os.path.join(seq_dir, sub + "_pp.rsdb")
+        out_rsdb = os.path.join(seq_dir, sub + ".rsdb")
+        pose_proposal.run(prev_rsdb, scan_ply, pp_rsdb, verbose)
+        segment_transfer.run(pp_rsdb, out_rsdb, verbose=verbose)
+        if poisson_recon and surface_trimmer:
+            fuse_models(poisson_recon, surface_trimmer,
+                        os.path.join(seq_dir, sub))
+        if eval_folder:
+            pred_ply = os.path.join(seq_dir, "predictions", sub + ".ply")
+            create_eval_files.run(pred_ply, eval_folder)
+            # GT files at level 1 so their enumeration matches the level-1
+            # predictions (mesh GT scans have no vertex/point alignment
+            # with the resampled pipeline clouds; see create_eval_files.run)
+            create_eval_files.run(scan_ply, eval_folder, level=1)
+        prev_rsdb = out_rsdb
+        produced.append(out_rsdb)
+    return produced
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Runs the full rescan segmentation pipeline")
+    ap.add_argument("scene_list", help="file listing sequence dirs, one per line")
+    ap.add_argument("--class_file", default="nyu40_classes.txt")
+    ap.add_argument("--poisson_recon", default=None)
+    ap.add_argument("--surface_trimmer", default=None)
+    ap.add_argument("--eval_folder", default=None)
+    ap.add_argument("--verbose", "-v", action="store_true")
+    args = ap.parse_args(argv)
+
+    base = os.path.dirname(args.scene_list)
+    with open(args.scene_list) as f:
+        sequences = [ln.strip() for ln in f if ln.strip()]
+    for seq in sequences:
+        run_sequence(os.path.join(base, seq), args.class_file,
+                     args.poisson_recon, args.surface_trimmer,
+                     args.eval_folder, args.verbose)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,288 @@
+"""segment_transfer — arrangement optimization + label transfer + database
+augmentation. CLI-compatible with the reference binary
+(apps/segment_transfer/main.cpp):
+
+    segment_transfer <input_database> -o <output_database> [-v]
+        [--just_greedy_initialization] [--just_simulated_annealing]
+        [--efw_greedy w w w w] [--efw_sa w w w w] [--likelihoods_sa ...]
+        [--n_sa_iter N] [--n_past_steps N] [--lower_index N] [--upper_index N]
+
+Stage flow (main.cpp:246-421): load db + pose proposals, compute scene
+saliency + plane classes, greedy arrangement construction, simulated
+annealing, carry static placements forward, ICP-refine placements to the
+scene, transfer labels, smooth, augment the object database with newly
+observed geometry, save db + segmented scene (level-1 PLY).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from .. import config
+from ..core import database
+from ..core.pointcloud import PointCloud
+from ..io import paths, rsdb as rsdbio
+from ..ops import energy, hashgrid, icp, labels as labels_ops, planes
+
+
+def compute_scene_saliency(db: rsdbio.Rsdb, scene_idx: int) -> None:
+    """rsao__compute_scene_saliency_grid
+    (arrangement_optimization.cpp:1108-1160): a 0.15 m voxel grid is lit by
+    dynamic-object proposal footprints (level 2) and un-lit by static ones;
+    level-0 scene points get quality 1 inside lit cells, 0 elsewhere, with
+    wall/floor-classified points forced to 0."""
+    scene = db.scenes[scene_idx].cloud
+    poses = db.proposed_poses[scene_idx]
+    bmin, bmax = scene.bbox
+    fat = config.ISECT_FAT_FACTOR
+    origin = (bmin - fat).astype(np.float32)
+    voxel = config.SALIENCY_GRID_VOXEL
+    res = (np.ceil(((bmax + fat) - origin) / np.float32(voxel)).astype(np.int64) + 1)
+    grid = np.zeros((res[1], res[2], res[0]), np.uint8)
+
+    lvl = config.SALIENCY_RASTERIZE_LVL
+
+    def rasterize(value: int, want_static: bool):
+        for i, obj in enumerate(db.objects):
+            if db.is_object_static(i) != want_static:
+                continue
+            if poses is None or poses[i] is None or len(poses[i]) == 0:
+                continue
+            pts = obj.cloud.pos(lvl)
+            for T in poses[i]:
+                p = pts @ T[:3, :3].T + T[:3, 3]
+                c = np.floor((p - origin) / np.float32(voxel)).astype(np.int64)
+                ok = ((c >= 0) & (c < res[None, :])).all(axis=1)
+                c = c[ok]
+                grid[c[:, 1], c[:, 2], c[:, 0]] = value
+
+    rasterize(1, want_static=False)   # dynamic proposals light cells
+    rasterize(0, want_static=True)    # static proposals clear cells
+
+    L0 = scene.levels[0]
+    floor_idx = db.class_idx("floor")
+    wall_idx = db.class_idx("wall")
+    p = L0["positions"]
+    c = np.floor((p - origin) / np.float32(voxel)).astype(np.int64)
+    in_range = ((c >= 0) & (c < res[None, :])).all(axis=1)
+    cc = np.clip(c, 0, res[None, :] - 1)
+    active = np.zeros(len(p), bool)
+    active[in_range] = grid[cc[in_range, 1], cc[in_range, 2],
+                            cc[in_range, 0]] == 1
+    q = np.where(active, 1.0, 0.0).astype(np.float32)
+    is_plane = ((L0["class_ids"] == wall_idx) | (L0["class_ids"] == floor_idx))
+    q[is_plane] = 0.0
+    L0["qualities"] = q
+
+
+def add_static_objects(db: rsdbio.Rsdb, scene_idx: int) -> None:
+    """rsao_add_static_objects (arrangement_optimization.cpp:68-82):
+    copy static placements from the previous arrangement."""
+    for p in db.arrangements[scene_idx - 1]:
+        if db.is_object_static(p.object_idx):
+            db.arrangements[scene_idx].append(dataclasses.replace(p))
+
+
+def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
+                              skip_static: bool = True) -> None:
+    """rsdb_refine_alignment_of_objects_to_scene (rs_database.h:216-232):
+    batched ICP of every (dynamic) placement at level 2, 0.075 m, 50 deg."""
+    import jax.numpy as jnp
+    arr = db.arrangements[scene_idx]
+    idxs = [i for i, p in enumerate(arr)
+            if not (skip_static and db.is_object_static(p.object_idx))]
+    if not idxs:
+        return
+    scene = db.scenes[scene_idx].cloud
+    lvl = config.SCENE_REFINE_ICP_LVL
+    grid = hashgrid.build_grid(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
+                               normals=scene.nrm(lvl))
+    pts = [db.objects[arr[i].object_idx].cloud.pos(lvl) for i in idxs]
+    nrm = [db.objects[arr[i].object_idx].cloud.nrm(lvl) for i in idxs]
+    pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm)
+    T0 = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
+    T, _ = icp.icp_align_batched(
+        jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b), grid,
+        jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
+        np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
+    T = np.asarray(T)
+    for k, i in enumerate(idxs):
+        arr[i] = dataclasses.replace(arr[i], pose=T[k])
+
+
+def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
+    """rsdu_augment_database (apps/segment_transfer/database_update.cpp:22-92):
+    merge each placement's newly observed points (extracted from scene level
+    1 by uidx) back into the object's canonical cloud, cloning the object
+    when the uidx is novel; dynamic extractions are ICP-aligned to the model
+    (0.05 m, 10 deg) before merging."""
+    import jax.numpy as jnp
+    scene = db.scenes[scene_idx].cloud
+    arr = db.arrangements[scene_idx]
+    for ci, plc in enumerate(arr):
+        obj = db.objects[plc.object_idx]
+        extracted = scene.extract_by_ids(1, "instance_ids", [plc.uidx],
+                                         compute_levels=False)
+        print(f"DATABASE_AUGMENT: Working on placement {plc.uidx:3d} - "
+              f"{obj.filename} | ({ci:3d}/{len(arr):3d})")
+        if plc.uidx != obj.uidx:
+            # novel object: clone the model under the new uidx
+            new_obj = rsdbio.RsObject(
+                uidx=plc.uidx,
+                filename=f"{db.class_name(obj.class_idx)}.{plc.uidx:03d}.ply",
+                class_idx=obj.class_idx, cloud=obj.cloud.copy())
+            plc.object_idx = db.add_object(new_obj)
+            obj = db.objects[plc.object_idx]
+            print(f"DATABASE_AUGMENT:  --- Novel object {new_obj.filename}!")
+
+        if extracted is None:
+            continue
+        xform = np.linalg.inv(plc.pose.astype(np.float64)).astype(np.float32)
+        if not db.is_object_static(plc.object_idx):
+            model = obj.cloud
+            grid = hashgrid.build_grid(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
+                                       normals=model.nrm(0))
+            pts_b, nrm_b, mask_b = icp.pad_batch(
+                [extracted.pos(0)], [extracted.nrm(0)])
+            T, _ = icp.icp_align_batched(
+                jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+                grid, jnp.asarray(xform[None]), config.AUGMENT_ICP_MAX_DIST,
+                np.deg2rad(config.AUGMENT_ICP_MAX_ANGLE_DEG))
+            xform = np.asarray(T[0])
+        extracted.transform(xform, compute_levels=False)
+        extracted.levels[0]["instance_ids"][:] = 0
+        obj.cloud.levels[0]["instance_ids"][:] = 1
+        merged = extracted.merge_with(obj.cloud, lvl=0)
+        for lvl in range(config.N_LEVELS):
+            merged.levels[lvl]["instance_ids"][:] = plc.uidx
+        obj.cloud = merged
+
+
+def run(input_db: str, output_db: str,
+        opts: config.ArrangementOpts | None = None,
+        verbose: bool = False) -> rsdbio.Rsdb:
+    opts = opts or config.ArrangementOpts()
+    db = database.load_database(input_db, load_pointclouds=True,
+                                verbose=verbose)
+
+    # load per-scene pose proposals (main.cpp:290-297)
+    lo = opts.lower_idx
+    hi = min(len(db.scenes), opts.upper_idx)
+    for i in range(lo, hi):
+        s = db.scenes[i]
+        if s.pose_proposal_filename:
+            p, sc = rsdbio.load_pose_proposals(s.pose_proposal_filename)
+            db.proposed_poses[i] = p
+            db.proposed_scores[i] = sc
+
+    # pad arrangements for novel scenes (main.cpp:300-310)
+    while len(db.arrangements) < len(db.scenes):
+        db.arrangements.append([])
+
+    time_idx = len(db.arrangements) - 1
+    plane_models: List[planes.PlaneModel] = []
+    ctx = None
+    if db.scenes and db.scenes[time_idx].pose_proposal_filename:
+        scene = db.scenes[time_idx].cloud
+        t0 = time.perf_counter()
+        plane_models = planes.detect_planes(scene)
+        planes.compute_plane_features(scene, plane_models)
+        planes.classify_planes(scene, plane_models)
+        compute_scene_saliency(db, time_idx)
+        scene.compute_levels()
+        opts.n_past_steps = min(len(db.arrangements) - 1, opts.n_past_steps)
+        ctx = energy.build_context(db, time_idx, db.proposed_poses[time_idx],
+                                   db.proposed_scores[time_idx])
+        print(f"SCENE_ANALYSIS: done in {time.perf_counter() - t0:f}s")
+
+    if ctx is not None and not opts.just_simulated_annealing:
+        t0 = time.perf_counter()
+        energy.greedy_optimize(ctx, db, time_idx, opts)
+        print(f"ARRANGEMENT_OPTIMIZATION: Greedy estimation finished in "
+              f"{time.perf_counter() - t0:f}s.")
+
+    if ctx is not None and not opts.just_greedy_initialization:
+        t0 = time.perf_counter()
+        energy.simulated_annealing(ctx, db, time_idx, opts)
+        print(f"ARRANGEMENT_OPTIMIZATION: Optimization finished in "
+              f"{time.perf_counter() - t0:f}s.")
+
+    t0 = time.perf_counter()
+    add_static_objects(db, time_idx)
+    print(f"LABEL_TRANSFER: Adding static objects finished in "
+          f"{time.perf_counter() - t0:f}s.")
+
+    t0 = time.perf_counter()
+    refine_alignment_to_scene(db, time_idx, skip_static=True)
+    print(f"ARRANGEMENT_OPTIMIZATION: Refining optimized poses done in "
+          f"{time.perf_counter() - t0:f}s.")
+
+    t0 = time.perf_counter()
+    scene = db.scenes[time_idx].cloud
+    labels_ops.arrangement_to_labels(db, scene, db.arrangements[time_idx])
+    planes.relabel_walls_and_floors(db, scene, plane_models)
+    labels_ops.smooth_labels(db, scene)
+    print(f"LABEL_TRANSFER: Segmentation finished in "
+          f"{time.perf_counter() - t0:f}s.")
+
+    t0 = time.perf_counter()
+    augment_database(db, time_idx)
+    print(f"LABEL_TRANSFER: Database augmentation finished in "
+          f"{time.perf_counter() - t0:f}s.")
+
+    if output_db:
+        db.model_folder = paths.model_folder_name(output_db)
+        scene_out = paths.output_segmentation_scene_filename(db.model_folder)
+        db.scenes[time_idx].scn_filename = scene_out
+        rsdbio.save_rsdb(output_db, db, save_objects=True)
+        # the reference writes level 0 then OVERWRITES with level 1
+        # (main.cpp:411-412); the surviving file is the level-1 cloud
+        scene.save_ply(scene_out, level=1)
+        print(f"IO: Saved database {output_db} and segmented pointcloud "
+              f"{scene_out}")
+    return db
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="segment_transfer",
+        description="Arrangement optimization and segmentation transfer")
+    ap.add_argument("input_database_filename")
+    ap.add_argument("--output_database", "-o", dest="output")
+    ap.add_argument("--output_segmentation", "-s", action="store_true")
+    ap.add_argument("--just_simulated_annealing", action="store_true")
+    ap.add_argument("--just_greedy_initialization", action="store_true")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--efw_greedy", nargs=4, type=float)
+    ap.add_argument("--efw_sa", nargs=4, type=float)
+    ap.add_argument("--likelihoods_sa", "-l", nargs=5, type=float)
+    ap.add_argument("--lower_index", type=int, default=0)
+    ap.add_argument("--upper_index", type=int, default=10)
+    ap.add_argument("--n_sa_iter", type=int, default=config.SA_N_ITER)
+    ap.add_argument("--n_past_steps", type=int, default=config.N_PAST_STEPS)
+    args = ap.parse_args(argv)
+
+    opts = config.ArrangementOpts(
+        lower_idx=args.lower_index, upper_idx=args.upper_index,
+        n_sa_iter=args.n_sa_iter, n_past_steps=args.n_past_steps,
+        just_greedy_initialization=args.just_greedy_initialization,
+        just_simulated_annealing=args.just_simulated_annealing)
+    if args.efw_greedy:
+        opts.energy_weights_greedy = tuple(args.efw_greedy)
+    if args.efw_sa:
+        opts.energy_weights_sa = tuple(args.efw_sa)
+    if args.likelihoods_sa:
+        opts.sa_action_likelihoods = tuple(args.likelihoods_sa)
+
+    run(args.input_database_filename, args.output, opts, args.verbose)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

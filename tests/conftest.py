@@ -1,11 +1,14 @@
 """Test configuration: force an 8-virtual-device CPU JAX platform so the
-multi-chip sharding paths compile and execute without TPU hardware."""
+multi-chip sharding paths compile and execute without TPU hardware.
+
+NOTE: this environment's sitecustomize force-registers a TPU PJRT plugin
+(JAX_PLATFORMS env alone is not enough), so we also pin the platform via
+jax.config before any jax use.
+"""
 
 import os
 import sys
 
-# force CPU: the outer environment may point JAX at a (slow, single-chip)
-# TPU tunnel; tests exercise sharding on 8 virtual CPU devices instead
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -13,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

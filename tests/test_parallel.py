@@ -1,0 +1,65 @@
+"""Sharded pose search / ICP on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from rescan_tpu.ops import hashgrid, icp, score
+from rescan_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def scene(rng=None):
+    r = np.random.default_rng(7)
+    pts = r.uniform(0, 2, (8000, 3)).astype(np.float32)
+    pts[:, 1] *= 0.1
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (8000, 1))
+    return pts, nrm
+
+
+def test_sharded_scores_match_single(scene):
+    import jax.numpy as jnp
+    pts, nrm = scene
+    grid = hashgrid.build_grid(pts, 0.1, normals=nrm)
+    obj = pts[:500] + np.array([0.01, 0.005, 0.0], np.float32)
+    objn = nrm[:500]
+    hyps = np.tile(np.eye(4, dtype=np.float32), (13, 1, 1))
+    hyps[:, 0, 3] = np.linspace(-0.1, 0.1, 13)
+
+    ref = np.asarray(score.score_hypotheses(
+        grid, jnp.asarray(obj), jnp.asarray(objn),
+        jnp.ones(len(obj), bool), jnp.asarray(hyps), 0.1, 0.1))
+
+    m = pmesh.make_mesh(8, sp=2)   # 4 x 2 mesh
+    out = pmesh.score_hypotheses_sharded(m, grid, obj, objn, hyps, 0.1, 0.1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_icp_matches_single(scene):
+    import jax.numpy as jnp
+    pts, nrm = scene
+    grid = hashgrid.build_grid(pts, 0.1, normals=nrm)
+    objs = [pts[i * 500:(i + 1) * 500] + np.array([0.02, 0.01, 0], np.float32)
+            for i in range(3)]
+    nrms = [nrm[i * 500:(i + 1) * 500] for i in range(3)]
+    pts_b, nrm_b, mask_b = icp.pad_batch(objs, nrms)
+    T0 = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+
+    T_ref, _ = icp.icp_align_batched(
+        jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b), grid,
+        jnp.asarray(T0), 0.1, np.deg2rad(60.0))
+
+    m = pmesh.make_mesh(8, sp=1)
+    T_sh, _ = pmesh.icp_refine_sharded(m, grid, pts_b, nrm_b, mask_b, T0,
+                                       0.1, float(np.deg2rad(60.0)))
+    for k in range(3):
+        p = objs[k]
+        a = p @ np.asarray(T_ref[k])[:3, :3].T + np.asarray(T_ref[k])[:3, 3]
+        b = p @ T_sh[k][:3, :3].T + T_sh[k][:3, 3]
+        assert float(np.abs(a - b).mean()) < 1e-3
+
+
+def test_mesh_uses_all_devices():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    m = pmesh.make_mesh(8, sp=2)
+    assert m.shape == {"dp": 4, "sp": 2}

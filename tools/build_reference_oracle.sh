@@ -10,6 +10,9 @@
 #   2. rs_database.h:768 — rsdb_free() frees scene->scn_filename, which
 #      seg2rsdb points at argv (free of non-heap pointer, crashes at exit
 #      AFTER outputs are written).
+#   3. rs_pointcloud.h:698-708 — the face PLY descriptor is a block-scoped
+#      local whose pointer msh_ply reads after scope exit
+#      (stack-use-after-scope; crashes at -O2 depending on layout).
 # segment_transfer is not built: it requires the non-vendored gco-v3.0.
 set -euo pipefail
 
@@ -21,6 +24,23 @@ rm -rf "$SRC"
 cp -r "$REF" "$SRC"
 sed -i 's/char class_name\[64\] = {0};/char class_name[512] = {0};/' "$SRC/lib/rs/rs_database.h"
 sed -i 's|if(scene->scn_filename)           free(scene->scn_filename);|/* oracle patch: scn_filename may alias argv */|' "$SRC/lib/rs/rs_database.h"
+python3 - "$SRC/lib/rs/rs_pointcloud.h" << 'PYEOF'
+import sys
+p = sys.argv[1]
+src = open(p).read()
+old = '''    if( face_specification )
+    {
+      const char* face_attributes[] = { "vertex_indices" };
+      msh_ply_desc_t base_face_desc = { .element_name = (char*)"face",'''
+new = '''    static const char* face_attributes[] = { "vertex_indices" };
+    msh_ply_desc_t base_face_desc; /* oracle patch: hoisted out of the
+      if-block (stack-use-after-scope read inside msh_ply_read) */
+    if( face_specification )
+    {
+      base_face_desc = { .element_name = (char*)"face",'''
+assert old in src, "reference source changed; update the patch"
+open(p, 'w').write(src.replace(old, new))
+PYEOF
 
 mkdir -p "$OUT"
 
