@@ -1,0 +1,111 @@
+"""Headline benchmark: pose_proposal wall-clock per rescan.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The scenario mirrors BASELINE.md's measured reference configuration: a
+4x4 m synthetic room with 5 dynamic furniture objects (~960k resampled
+points per scan), one rescan processed by the pose_proposal stage
+(multiresolution grid search over the full (x, z, theta) lattice,
+verification at 3 LoD levels, NMS, batched ICP refinement, rescoring).
+
+The reference C++ binary measured 242.0 s for the same stage on the same
+inputs on this machine's CPU (see BASELINE.md; its own "Computed poses in"
+timer, which spans scene ingest through final sort). We report the same
+span. The first run warms XLA compiles; the reported number is the second,
+steady-state run (noted in BASELINE.md).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference pose_proposal on the identical scene pair, measured via
+# tools/measure_baseline.sh -> BASELINE.md ("Computed poses in 242.030569s")
+REFERENCE_SECONDS = 242.03
+
+BENCH_DIR = "/tmp/rescan_bench_inputs"
+
+
+SMALL = os.environ.get("RESCAN_BENCH_SMALL") == "1"
+if SMALL:
+    BENCH_DIR = "/tmp/rescan_bench_inputs_small"
+
+
+def prepare_inputs():
+    from rescan_tpu.utils import synthetic
+    from rescan_tpu.pipeline import seg2rsdb
+
+    marker = os.path.join(BENCH_DIR, ".ready")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(BENCH_DIR, ignore_errors=True)
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    if SMALL:
+        # CPU smoke-test mode: tiny room, NOT comparable to the baseline
+        spec = synthetic.SceneSpec(room_size=(1.6, 1.6), wall_height=0.9,
+                                   objects=[
+            ("chair", (0.45, 0.45), (0.35, 0.5, 0.35), 0.0),
+            ("table", (1.1, 1.0), (0.5, 0.4, 0.35), 0.0)])
+        synthetic.save_scene_ply(os.path.join(BENCH_DIR, "scan_000.ply"),
+                                 spec, resolution=6)
+        moved = synthetic.moved_scene_spec(spec, (0.25, 0.15), which=0)
+        synthetic.save_scene_ply(os.path.join(BENCH_DIR, "scan_001.ply"),
+                                 moved, resolution=6, seed=1)
+        synthetic.write_class_file(os.path.join(BENCH_DIR,
+                                                "nyu40_classes.txt"))
+        seg2rsdb.main([os.path.join(BENCH_DIR, "scan_000.ply"),
+                       os.path.join(BENCH_DIR, "nyu40_classes.txt"),
+                       os.path.join(BENCH_DIR, "scan_000.rsdb")])
+        open(marker, "w").write("ok")
+        return
+    spec = synthetic.SceneSpec(room_size=(4.0, 4.0), wall_height=2.5, objects=[
+        ("chair", (1.0, 1.0), (0.5, 0.9, 0.5), 0.0),
+        ("chair", (3.0, 1.2), (0.5, 0.9, 0.5), 0.6),
+        ("table", (2.0, 2.0), (1.2, 0.75, 0.8), 0.0),
+        ("sofa", (1.0, 3.2), (1.6, 0.8, 0.7), 0.0),
+        ("desk", (3.2, 3.0), (1.0, 0.75, 0.6), 1.2),
+    ])
+    synthetic.save_scene_ply(os.path.join(BENCH_DIR, "scan_000.ply"), spec,
+                             resolution=16)
+    moved = synthetic.moved_scene_spec(spec, (0.5, 0.3), which=0)
+    moved = synthetic.moved_scene_spec(moved, (-0.4, 0.5), which=3)
+    synthetic.save_scene_ply(os.path.join(BENCH_DIR, "scan_001.ply"), moved,
+                             resolution=16, seed=1)
+    synthetic.write_class_file(os.path.join(BENCH_DIR, "nyu40_classes.txt"))
+    seg2rsdb.main([os.path.join(BENCH_DIR, "scan_000.ply"),
+                   os.path.join(BENCH_DIR, "nyu40_classes.txt"),
+                   os.path.join(BENCH_DIR, "scan_000.rsdb")])
+    open(marker, "w").write("ok")
+
+
+def timed_run(tag: str) -> float:
+    """One pose_proposal stage run; returns the reference-comparable span
+    (scene ingest through pose sort, matching 'Computed poses in')."""
+    from rescan_tpu.pipeline import pose_proposal
+
+    out = os.path.join(BENCH_DIR, f"scan_001_pp_{tag}.rsdb")
+    db = pose_proposal.run(os.path.join(BENCH_DIR, "scan_000.rsdb"),
+                           os.path.join(BENCH_DIR, "scan_001.ply"), out,
+                           verbose=False, save_outputs=False)
+    return float(db.last_pose_proposal_seconds)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    prepare_inputs()
+    timed_run("warmup")          # compile warm-up
+    secs = timed_run("measured")  # steady-state
+    print(json.dumps({
+        "metric": "pose_proposal_sec_per_rescan",
+        "value": round(secs, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SECONDS / secs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

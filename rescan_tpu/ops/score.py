@@ -79,6 +79,33 @@ def score_hypotheses(grid: hashgrid.HashGrid, obj_pts: jax.Array,
     return jnp.sum(per_pt, axis=1) / n
 
 
+def score_hypotheses_bucketed(grid: hashgrid.HashGrid, obj_pts: np.ndarray,
+                              obj_nrm: np.ndarray, hyps: np.ndarray,
+                              radius, sigma, chunk: int = 2048) -> np.ndarray:
+    """Host wrapper: pad points and hypotheses to powers of two so compiled
+    kernels are reused across objects/levels/stages; returns (H,) scores."""
+    import jax.numpy as jnp
+
+    def pow2(n):
+        return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+    p, h = len(obj_pts), len(hyps)
+    pp, hp = pow2(p), pow2(h)
+    pts_p = np.zeros((pp, 3), np.float32)
+    pts_p[:p] = obj_pts
+    nrm_p = np.zeros((pp, 3), np.float32)
+    nrm_p[:p] = obj_nrm
+    mask = np.zeros(pp, bool)
+    mask[:p] = True
+    mats_p = np.tile(np.eye(4, dtype=np.float32), (hp, 1, 1))
+    mats_p[:h] = hyps
+    s = np.asarray(score_hypotheses(grid, jnp.asarray(pts_p),
+                                    jnp.asarray(nrm_p), jnp.asarray(mask),
+                                    jnp.asarray(mats_p), radius, sigma,
+                                    chunk=chunk))
+    return s[:h]
+
+
 def grid_search_hypotheses(bbox_min: np.ndarray, bbox_max: np.ndarray,
                            spacing: float = config.GRID_SEARCH_SPACING,
                            n_angles: int = config.GRID_SEARCH_N_ANGLES

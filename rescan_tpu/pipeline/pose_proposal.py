@@ -52,13 +52,9 @@ def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
     radius = sigma = config.SCORE_SEARCH_RADII[config.SCORE_SEARCH_LVL]
 
     def batch_score(mats: np.ndarray, query_lvl: int) -> np.ndarray:
-        pts = obj.pos(query_lvl)
-        nrm = obj.nrm(query_lvl)
-        p = len(pts)
-        s = np.asarray(score.score_hypotheses(
-            scene_grid, jnp.asarray(pts), jnp.asarray(nrm),
-            jnp.ones(p, bool), jnp.asarray(mats), radius, sigma))
-        return s
+        return score.score_hypotheses_bucketed(
+            scene_grid, obj.pos(query_lvl), obj.nrm(query_lvl), mats,
+            radius, sigma)
 
     # level 4: full lattice, keep best angle per cell above threshold
     # (pose_proposal.cpp:213-243)
@@ -141,10 +137,9 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
 
 
 def run(rsdb_filename: str, scene_filename: str, output_filename: str,
-        verbose: bool = False) -> rsdbio.Rsdb:
+        verbose: bool = False, save_outputs: bool = True) -> rsdbio.Rsdb:
     import jax.numpy as jnp
 
-    t_start = time.perf_counter()
     db = database.load_database(rsdb_filename, load_pointclouds=True,
                                 verbose=verbose)
     db.model_folder = paths.model_folder_name(output_filename)
@@ -153,6 +148,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         print(f"IO:   N. Scenes:       {len(db.scenes)}")
         print(f"IO:   N. Arrangements: {len(db.arrangements)}")
 
+    # the reference's "Computed poses in" timer spans scene ingest through
+    # the final sort (apps/pose_proposal/main.cpp:144-208)
+    t_start = time.perf_counter()
     scn_cloud = PointCloud.from_ply(scene_filename)
     scene = rsdbio.RsScene(
         uidx=len(db.scenes), arrangement_idx=len(db.scenes),
@@ -215,18 +213,27 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         by_obj = {}
         for b, (i, k) in enumerate(owners):
             by_obj.setdefault(i, []).append((b, k))
-        # pad object points to a common size for a single ICP launch
+        # pad object points to a common size for a single ICP launch;
+        # bucket batch and point dims to powers of two for compile reuse
         pts_l, nrm_l = [], []
         for b, (i, k) in enumerate(owners):
             pts_l.append(db.objects[i].cloud.pos(icp_lvl))
             nrm_l.append(db.objects[i].cloud.nrm(icp_lvl))
         pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l)
+        B, N = mask_b.shape
+        Bp = 1 << int(np.ceil(np.log2(max(B, 1))))
+        Np = 1 << int(np.ceil(np.log2(max(N, 1))))
+        pts_b = np.pad(pts_b, ((0, Bp - B), (0, Np - N), (0, 0)))
+        nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, Np - N), (0, 0)))
+        mask_b = np.pad(mask_b, ((0, Bp - B), (0, Np - N)))
+        T_all = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
+        T_all[:B] = np.stack(flat_T)
         T_ref, _ = icp.icp_align_batched(
             jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
-            icp_grid, jnp.asarray(np.stack(flat_T)),
+            icp_grid, jnp.asarray(T_all),
             config.REFINE_ICP_MAX_DIST,
             np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
-        T_ref = np.asarray(T_ref)
+        T_ref = np.asarray(T_ref)[:B]
 
         # rescore refined poses at query level 1 in one launch per object
         qlvl = config.REFINE_SCORE_QUERY_LVL
@@ -238,11 +245,8 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                       f"{name}.{db.objects[i].uidx:03d}")
             obj = db.objects[i].cloud
             mats = np.stack([T_ref[b] for b, _ in entries])
-            s = np.asarray(score.score_hypotheses(
-                scene_grid, jnp.asarray(obj.pos(qlvl)),
-                jnp.asarray(obj.nrm(qlvl)),
-                jnp.ones(obj.n_pts(qlvl), bool), jnp.asarray(mats),
-                radius, sigma))
+            s = score.score_hypotheses_bucketed(
+                scene_grid, obj.pos(qlvl), obj.nrm(qlvl), mats, radius, sigma)
             for (b, k), sc, Tn in zip(entries, s, mats):
                 prop_lists[i][k] = Tn
                 score_lists[i][k] = float(sc)
@@ -257,13 +261,17 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     for poses, scores in proposals:
         order = np.argsort(-scores, kind="stable")
         sorted_props.append((poses[order], scores[order]))
-    print(f"POSE_PROPOSAL: Computed poses in "
-          f"{time.perf_counter() - t_start:f}s.")
+    elapsed = time.perf_counter() - t_start
+    print(f"POSE_PROPOSAL: Computed poses in {elapsed:f}s.")
 
-    rsdbio.save_rsdb(output_filename, db, save_objects=True)
-    rsdbio.save_pose_proposals(scene.pose_proposal_filename,
-                               [p for p, _ in sorted_props],
-                               [s for _, s in sorted_props])
+    if save_outputs:
+        rsdbio.save_rsdb(output_filename, db, save_objects=True)
+        rsdbio.save_pose_proposals(scene.pose_proposal_filename,
+                                   [p for p, _ in sorted_props],
+                                   [s for _, s in sorted_props])
+    db.proposed_poses[-1] = [p for p, _ in sorted_props]
+    db.proposed_scores[-1] = [s for _, s in sorted_props]
+    db.last_pose_proposal_seconds = elapsed  # for benchmarking
     return db
 
 
