@@ -95,7 +95,9 @@ def timed_run(tag: str) -> float:
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    # NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the persistent
+    # cache crashes this image's remote-compile TPU worker; the in-process
+    # jit cache carries the warmup run's compiles into the measured run.
     prepare_inputs()
     timed_run("warmup")          # compile warm-up
     secs = timed_run("measured")  # steady-state

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from . import hashgrid
+from . import hashgrid, search
 
 
 def _rotation_xyz(ax, ay, az):
@@ -59,7 +59,7 @@ def _rotation_xyz(ax, ay, az):
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
 def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
-                      obj_mask: jax.Array, grid: hashgrid.HashGrid,
+                      obj_mask: jax.Array, grid,
                       T_init: jax.Array, max_dist, max_angle,
                       max_iter: int = config.ICP_MAX_ITER,
                       chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
@@ -68,7 +68,8 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
     Args:
       obj_pts / obj_nrm: (B, N, 3) padded source points/normals.
       obj_mask: (B, N) validity of the padding.
-      grid: scene hash grid built with cell >= initial max_dist.
+      grid: scene search index (HashGrid with cell >= initial max_dist, or
+        a DenseIndex; see ops/search.py).
       T_init: (B, 4, 4) initial source-to-scene transforms.
       max_dist / max_angle: scalars (the reference's icp_align params).
 
@@ -83,7 +84,7 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
         t = T[:, :3, 3]
         q = jnp.einsum("bij,bnj->bni", R, obj_pts) + t[:, None, :]
         qn = jnp.einsum("bij,bnj->bni", R, obj_nrm)
-        idx, d2, dot = hashgrid.nearest_gated(
+        idx, d2, dot = search.nearest_gated(
             grid, q.reshape(B * N, 3), qn.reshape(B * N, 3), dist, cos_gate,
             chunk=chunk)
         idx = idx.reshape(B, N)
@@ -92,11 +93,8 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
         ok = (idx >= 0) & obj_mask
         return q, qn, idx, d2, dot, ok
 
-    # Precompute original-order scene arrays once (inverse permutation).
-    inv = jnp.zeros_like(grid.perm).at[grid.perm].set(
-        jnp.arange(grid.perm.shape[0], dtype=grid.perm.dtype))
-    scene_pts = grid.points[inv]
-    scene_nrm = grid.normals[inv]
+    # Precompute original-order scene arrays once.
+    scene_pts, scene_nrm = search.index_arrays(grid)
 
     def body(state):
         T, err, dist, active, it = state

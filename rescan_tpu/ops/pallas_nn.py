@@ -1,0 +1,234 @@
+"""Pallas TPU kernel for gated nearest-neighbor search — the flagship
+compute kernel of the framework.
+
+Why Pallas: the XLA formulation of the dense search (ops/dense_nn.py)
+materializes (queries x tile) distance matrices in HBM, so a coarse
+grid-search pass moves ~100 GB of intermediates. Here the ENTIRE scene
+level (positions, normals, |p|^2 packed as an (8, N) f32 slab — ~10 MB for
+a 300k-point level-1 scene) sits in VMEM next to the MXU, each grid step
+processes one 128-query block, and the scene-tile loop runs entirely
+on-chip with a running gated-min — zero HBM traffic for intermediates.
+
+Pruning: points are sorted by spatial cell (build_sorted_slab), so scene
+tiles are spatially coherent; each query block compares its bounding box
+against per-tile bounds held in SMEM and skips far tiles with
+@pl.when — a real branch on TPU, saving both MXU and VPU work. Query
+blocks are object points under one pose hypothesis, hence also local.
+
+Semantics identical to dense_nn.nearest_gated_dense: strict d2 < r2,
+gate max(dot,0) (or |dot|) >= cos - 1e-6, nearest qualifying neighbor,
+original-order indices (via the sort permutation, applied by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QUERY_BLOCK = 256
+SCENE_TILE = 2048
+
+
+def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, scene_ref,
+               idx_ref, d2_ref, dot_ref, *, use_abs_dot: bool,
+               n_tiles: int):
+    """One query block vs all scene tiles.
+
+    q_ref:     (8, QUERY_BLOCK)  rows: x y z |q|^2 nx ny nz pad
+    scene_ref: (8, N_pad)        rows: x y z |p|^2 nx ny nz pad
+    tile_bounds_ref: (n_tiles, 8) in SMEM: xmin ymin zmin _ xmax ymax zmax _
+    outputs: (1, QUERY_BLOCK) best idx / d2 / dot for this block
+    """
+    r2 = rad_ref[0]
+    cos_gate = gate_ref[0]
+    q = q_ref[:]                        # (8, BQ)
+    qx, qy, qz = q[0, :], q[1, :], q[2, :]
+    q2 = q[3, :]
+    # query-block bounds for tile pruning
+    bxmin, bxmax = jnp.min(qx), jnp.max(qx)
+    bymin, bymax = jnp.min(qy), jnp.max(qy)
+    bzmin, bzmax = jnp.min(qz), jnp.max(qz)
+    rad = jnp.sqrt(r2)
+
+    def tile_step(t, carry):
+        best_d2, best_idx, best_dot = carry
+
+        # prune: does this tile's bbox come within radius of the block's?
+        txmin = tile_bounds_ref[t, 0]
+        tymin = tile_bounds_ref[t, 1]
+        tzmin = tile_bounds_ref[t, 2]
+        txmax = tile_bounds_ref[t, 4]
+        tymax = tile_bounds_ref[t, 5]
+        tzmax = tile_bounds_ref[t, 6]
+        near = ((txmin <= bxmax + rad) & (txmax >= bxmin - rad) &
+                (tymin <= bymax + rad) & (tymax >= bymin - rad) &
+                (tzmin <= bzmax + rad) & (tzmax >= bzmin - rad))
+
+        def compute():
+            s = scene_ref[:, pl.ds(t * SCENE_TILE, SCENE_TILE)]   # (8, T)
+            cross = jax.lax.dot_general(
+                q[0:3, :], s[0:3, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (BQ, T)
+            d2 = q2[:, None] + s[3, :][None, :] - 2.0 * cross
+            # HIGHEST: bf16 normal dots flip borderline 35-degree gate
+            # decisions (~0.005 absolute error on the cosine)
+            ndot = jax.lax.dot_general(
+                q[4:7, :], s[4:7, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            gate = jnp.abs(ndot) if use_abs_dot else jnp.maximum(ndot, 0.0)
+            ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
+            d2m = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf)
+            tb = jnp.argmin(d2m, axis=1)                          # (BQ,)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
+            sel = cols == tb[:, None]
+            td2 = jnp.min(d2m, axis=1)
+            tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
+            tidx = t * SCENE_TILE + tb
+            better = td2 < best_d2
+            return (jnp.where(better, td2, best_d2),
+                    jnp.where(better, tidx, best_idx),
+                    jnp.where(better, tdot, best_dot))
+
+        return jax.lax.cond(near, compute, lambda: carry)
+
+    init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
+            jnp.full((QUERY_BLOCK,), -1, jnp.int32),
+            jnp.zeros((QUERY_BLOCK,), jnp.float32))
+    best_d2, best_idx, best_dot = jax.lax.fori_loop(0, n_tiles, tile_step,
+                                                    init)
+    found = best_d2 < jnp.inf
+    idx_ref[0, :] = jnp.where(found, best_idx, -1)
+    d2_ref[0, :] = best_d2
+    dot_ref[0, :] = best_dot
+
+
+@jax.tree_util.register_pytree_node_class
+class SortedSlab:
+    """Scene packed for the Pallas kernel: cell-sorted (8, N_pad) slab,
+    per-tile bounds, and the sort permutation to original indices."""
+
+    def __init__(self, slab, tile_bounds, perm, n_valid, center,
+                 n_tiles: int):
+        self.slab = slab                # (8, N_pad) f32
+        self.tile_bounds = tile_bounds  # (n_tiles, 8) f32
+        self.perm = perm                # (N_pad,) original index of column
+        self.n_valid = n_valid
+        self.center = center            # (3,)
+        self.n_tiles = n_tiles
+
+    def tree_flatten(self):
+        return ((self.slab, self.tile_bounds, self.perm, self.n_valid,
+                 self.center), (self.n_tiles,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_tiles=aux[0])
+
+
+def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
+                      cell: float = 0.4) -> SortedSlab:
+    pts = np.asarray(points, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    n = len(pts)
+    center = ((pts.min(0) + pts.max(0)) * 0.5 if n else np.zeros(3)).astype(np.float32)
+    p = pts - center
+    # sort columns along a Morton curve so every tile is compact in ALL
+    # three axes (a row-major key would make tiles span the full x extent
+    # and defeat the kernel's bbox pruning)
+    c = np.floor(p / cell).astype(np.int64)
+    c -= c.min(axis=0) if n else 0
+    key = np.zeros(n, np.int64)
+    for bit in range(16):
+        for ax in range(3):
+            key |= ((c[:, ax] >> bit) & 1) << (3 * bit + ax)
+    order = np.argsort(key, kind="stable")
+    p = p[order]
+    nr = nrm[order]
+
+    n_pad = max(((n + SCENE_TILE - 1) // SCENE_TILE) * SCENE_TILE, SCENE_TILE)
+    slab = np.zeros((8, n_pad), np.float32)
+    slab[0:3, :n] = p.T
+    slab[3, :n] = (p * p).sum(1)
+    slab[4:7, :n] = nr.T
+    slab[0:3, n:] = 1e6          # padding far away
+    slab[3, n:] = 3e12
+    n_tiles = n_pad // SCENE_TILE
+    tb = np.zeros((n_tiles, 8), np.float32)
+    for t in range(n_tiles):
+        seg = slab[0:3, t * SCENE_TILE:(t + 1) * SCENE_TILE]
+        tb[t, 0:3] = seg.min(1)
+        tb[t, 4:7] = seg.max(1)
+    perm = np.full(n_pad, -1, np.int32)
+    perm[:n] = order.astype(np.int32)
+    return SortedSlab(jnp.asarray(slab), jnp.asarray(tb), jnp.asarray(perm),
+                      jnp.asarray(n, jnp.int32), jnp.asarray(center),
+                      n_tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
+def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
+                         q_nrm: jax.Array, radius, cos_gate,
+                         use_abs_dot: bool = False
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gated 1-NN for M queries (M padded to QUERY_BLOCK internally).
+
+    Returns (idx, d2, dot) with idx in ORIGINAL point order (-1 if none).
+    """
+    m = q_pos.shape[0]
+    mp = ((m + QUERY_BLOCK - 1) // QUERY_BLOCK) * QUERY_BLOCK
+    qc = q_pos - slab.center[None, :]
+    qpad = jnp.full((mp, 3), 2e6, qc.dtype).at[:m].set(qc)
+    qnpad = jnp.zeros((mp, 3), q_nrm.dtype).at[:m].set(q_nrm)
+    qslab = jnp.zeros((8, mp), jnp.float32)
+    qslab = qslab.at[0:3, :].set(qpad.T)
+    qslab = qslab.at[3, :].set(jnp.sum(qpad * qpad, axis=1))
+    qslab = qslab.at[4:7, :].set(qnpad.T)
+
+    n_blocks = mp // QUERY_BLOCK
+    rad2 = jnp.asarray([radius * radius], jnp.float32)
+    cgate = jnp.asarray([cos_gate], jnp.float32)
+
+    kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
+                               n_tiles=slab.n_tiles)
+    idx, d2, dot = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # radius^2
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # cos gate
+            pl.BlockSpec((8, QUERY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                 # queries
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # tile bounds
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # scene slab
+        ],
+        out_specs=[
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+        ],
+    )(rad2, cgate, qslab, slab.tile_bounds, slab.slab)
+
+    idx = idx[0, :m]
+    d2 = d2[0, :m]
+    dot = dot[0, :m]
+    # sorted-column index -> original index
+    safe = jnp.maximum(idx, 0)
+    oidx = jnp.where(idx >= 0, slab.perm[safe], -1)
+    return oidx, d2, dot

@@ -33,18 +33,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from . import hashgrid
+from . import hashgrid, search
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def score_hypotheses(grid: hashgrid.HashGrid, obj_pts: jax.Array,
+def score_hypotheses(grid, obj_pts: jax.Array,
                      obj_nrm: jax.Array, obj_mask: jax.Array,
                      hyps: jax.Array, radius, sigma,
                      chunk: int = 2048) -> jax.Array:
     """Score H pose hypotheses for one object.
 
     Args:
-      grid: scene search grid (level 1, normals attached).
+      grid: scene search index (level 1, normals attached) — either a
+        HashGrid or a DenseIndex (ops/search.py).
       obj_pts/obj_nrm: (P, 3) object points at the query level (padded).
       obj_mask: (P,) validity mask.
       hyps: (H, 4, 4) hypothesis transforms.
@@ -61,7 +62,7 @@ def score_hypotheses(grid: hashgrid.HashGrid, obj_pts: jax.Array,
     qn = jnp.einsum("hij,pj->hpi", R, obj_nrm)
 
     cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
-    idx, d2, dot = hashgrid.nearest_gated(
+    idx, d2, dot = search.nearest_gated(
         grid, q.reshape(H * P, 3), qn.reshape(H * P, 3), radius, cos_gate,
         chunk=chunk)
     found = (idx >= 0).reshape(H, P) & obj_mask[None, :]
@@ -79,31 +80,53 @@ def score_hypotheses(grid: hashgrid.HashGrid, obj_pts: jax.Array,
     return jnp.sum(per_pt, axis=1) / n
 
 
-def score_hypotheses_bucketed(grid: hashgrid.HashGrid, obj_pts: np.ndarray,
+# Launch sizing: each launch is ONE fixed-shape query chunk (the tunnel's
+# remote-compile worker is destabilized by device-side chunk loops), so
+# hypothesis slices satisfy H_slice * P_pad <= MAX_QUERIES_PER_LAUNCH and
+# JAX async dispatch pipelines the slice stream.
+MAX_QUERIES_PER_LAUNCH = 32768
+
+
+def score_hypotheses_bucketed(grid, obj_pts: np.ndarray,
                               obj_nrm: np.ndarray, hyps: np.ndarray,
                               radius, sigma, chunk: int = 2048) -> np.ndarray:
-    """Host wrapper: pad points and hypotheses to powers of two so compiled
-    kernels are reused across objects/levels/stages; returns (H,) scores."""
+    """Host wrapper: pad points and hypotheses to powers of two (capped at
+    MAX_HYPS_PER_LAUNCH, slicing larger batches) so compiled kernels are
+    reused across objects/levels/stages; returns (H,) scores."""
     import jax.numpy as jnp
 
     def pow2(n):
         return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
 
     p, h = len(obj_pts), len(hyps)
-    pp, hp = pow2(p), pow2(h)
+    pp = pow2(p)
     pts_p = np.zeros((pp, 3), np.float32)
     pts_p[:p] = obj_pts
     nrm_p = np.zeros((pp, 3), np.float32)
     nrm_p[:p] = obj_nrm
     mask = np.zeros(pp, bool)
     mask[:p] = True
-    mats_p = np.tile(np.eye(4, dtype=np.float32), (hp, 1, 1))
-    mats_p[:h] = hyps
-    s = np.asarray(score_hypotheses(grid, jnp.asarray(pts_p),
-                                    jnp.asarray(nrm_p), jnp.asarray(mask),
-                                    jnp.asarray(mats_p), radius, sigma,
-                                    chunk=chunk))
-    return s[:h]
+    pts_j, nrm_j, mask_j = (jnp.asarray(pts_p), jnp.asarray(nrm_p),
+                            jnp.asarray(mask))
+
+    h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
+
+    # async-dispatch all slices, then pull results (keeps the device busy
+    # back-to-back while the host prepares the next slice)
+    results = []
+    for lo in range(0, max(h, 1), h_slice):
+        sl = hyps[lo:lo + h_slice]
+        mats_p = np.tile(np.eye(4, dtype=np.float32), (h_slice, 1, 1))
+        mats_p[:len(sl)] = sl
+        results.append((len(sl), score_hypotheses(
+            grid, pts_j, nrm_j, mask_j, jnp.asarray(mats_p), radius, sigma,
+            chunk=MAX_QUERIES_PER_LAUNCH)))
+    out = np.empty(h, np.float32)
+    lo = 0
+    for n_sl, s in results:
+        out[lo:lo + n_sl] = np.asarray(s)[:n_sl]
+        lo += n_sl
+    return out
 
 
 def grid_search_hypotheses(bbox_min: np.ndarray, bbox_max: np.ndarray,

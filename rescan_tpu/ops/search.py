@@ -1,0 +1,75 @@
+"""Unified spatial-index dispatch.
+
+Two interchangeable engines implement the gated nearest-neighbor query:
+
+* ``DenseIndex`` (ops/dense_nn.py) — MXU matmul distance tiles; the right
+  engine on TPU, where gathers are scalar-bound.
+* ``HashGrid``  (ops/hashgrid.py)  — windowed candidate gathers; the right
+  engine on CPU (tests) and for huge scenes where dense tiles would waste
+  too many FLOPs.
+
+``build_index`` picks by backend unless told otherwise; all hot kernels
+(scoring, ICP) go through ``nearest_gated`` here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dense_nn, hashgrid, pallas_nn
+
+Index = Union[pallas_nn.SortedSlab, dense_nn.DenseIndex, hashgrid.HashGrid]
+
+
+def build_index(points: np.ndarray, cell: float,
+                normals: Optional[np.ndarray] = None,
+                prefer_dense: Optional[bool] = None) -> Index:
+    """``cell`` is the query radius the index should serve (used by the
+    grid engine; ignored by the dense ones)."""
+    if prefer_dense is None:
+        prefer_dense = jax.default_backend() != "cpu"
+    if prefer_dense:
+        nrm = (np.zeros_like(np.asarray(points, np.float32))
+               if normals is None else normals)
+        return pallas_nn.build_sorted_slab(points, nrm)
+    return hashgrid.build_grid(points, cell, normals=normals)
+
+
+def nearest_gated(index: Index, q_pos, q_nrm, radius, cos_gate,
+                  use_abs_dot: bool = False, chunk: int = 4096):
+    """(idx, d2, dot) of the nearest in-radius neighbor passing the normal
+    gate; idx in ORIGINAL point order, -1 where none qualifies."""
+    if isinstance(index, pallas_nn.SortedSlab):
+        return pallas_nn.nearest_gated_pallas(index, q_pos, q_nrm, radius,
+                                              cos_gate,
+                                              use_abs_dot=use_abs_dot)
+    if isinstance(index, dense_nn.DenseIndex):
+        return dense_nn.nearest_gated_dense(index, q_pos, q_nrm, radius,
+                                            cos_gate, use_abs_dot=use_abs_dot,
+                                            chunk=chunk)
+    return hashgrid.nearest_gated(index, q_pos, q_nrm, radius, cos_gate,
+                                  use_abs_dot=use_abs_dot,
+                                  chunk=min(chunk, 2048))
+
+
+def index_arrays(index: Index) -> Tuple[jax.Array, jax.Array]:
+    """(points, normals) in original order, for correspondence gathers."""
+    if isinstance(index, pallas_nn.SortedSlab):
+        n_pad = index.slab.shape[1]
+        pts = index.slab[0:3, :].T + index.center[None, :]
+        nrm = index.slab[4:7, :].T
+        # padding columns (perm == -1) scatter to the last row, which is
+        # unused whenever padding exists at all
+        safe = jnp.where(index.perm >= 0, index.perm, n_pad - 1)
+        out_p = jnp.zeros((n_pad, 3), pts.dtype).at[safe].set(pts)
+        out_n = jnp.zeros((n_pad, 3), nrm.dtype).at[safe].set(nrm)
+        return out_p, out_n
+    if isinstance(index, dense_nn.DenseIndex):
+        return (index.points + index.center[None, :], index.normals)
+    inv = jnp.zeros_like(index.perm).at[index.perm].set(
+        jnp.arange(index.perm.shape[0], dtype=index.perm.dtype))
+    return index.points[inv], index.normals[inv]

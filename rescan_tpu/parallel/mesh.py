@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
-from ..ops import hashgrid
+from ..ops import hashgrid, search
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -78,7 +78,7 @@ def score_hypotheses_sharded(mesh: Mesh, grid: hashgrid.HashGrid,
         t = mats[:, :3, 3]
         q = jnp.einsum("hij,pj->hpi", R, pts) + t[:, None, :]
         qn = jnp.einsum("hij,pj->hpi", R, nrm)
-        idx, d2, dot = hashgrid.nearest_gated(
+        idx, d2, dot = search.nearest_gated(
             grid_, q.reshape(h * p, 3), qn.reshape(h * p, 3), radius,
             cos_gate, chunk=chunk)
         found = (idx >= 0).reshape(h, p) & mask[None, :]

@@ -35,11 +35,66 @@ from .. import config
 from ..core import database
 from ..core.pointcloud import PointCloud
 from ..io import paths, rsdb as rsdbio
-from ..ops import hashgrid, icp, score, voxel
+from ..ops import icp, score, search, voxel
+
+
+class SceneOccupancy:
+    """Dilated boolean occupancy of the scene for EXACT hypothesis pruning.
+
+    A hypothesis's alignment score is a mean of per-point contributions in
+    [0, 1] where a point contributes 0 whenever no scene point lies within
+    the search radius. The fraction of object points whose cell falls in
+    the (conservatively dilated) occupancy is therefore an upper bound on
+    the score; hypotheses whose bound is below the level's threshold can
+    be dropped WITHOUT changing the reference semantics — they could never
+    pass the `score > threshold` test nor become a surviving per-cell best.
+    """
+
+    def __init__(self, scene_pts: np.ndarray, radius: float,
+                 voxel: float = 0.05):
+        self.voxel = voxel
+        self.origin = scene_pts.min(axis=0).astype(np.float32) - 4 * voxel
+        res = (np.ceil((scene_pts.max(axis=0) - self.origin) / voxel)
+               .astype(np.int64) + 8)
+        occ = np.zeros(tuple(res), bool)
+        c = np.floor((scene_pts - self.origin) / voxel).astype(np.int64)
+        occ[c[:, 0], c[:, 1], c[:, 2]] = True
+        # conservative box dilation: covers radius + cell diagonal
+        n_dil = int(np.ceil(radius / voxel)) + 1
+        for _ in range(n_dil):
+            d = occ.copy()
+            d[1:] |= occ[:-1]
+            d[:-1] |= occ[1:]
+            d[:, 1:] |= occ[:, :-1]
+            d[:, :-1] |= occ[:, 1:]
+            d[:, :, 1:] |= occ[:, :, :-1]
+            d[:, :, :-1] |= occ[:, :, 1:]
+            occ = d
+        self.occ = occ
+        self.res = np.asarray(occ.shape)
+
+    def score_upper_bound(self, obj_pts: np.ndarray,
+                          hyps: np.ndarray) -> np.ndarray:
+        """(H,) fraction of object points inside occupied cells per pose."""
+        H = len(hyps)
+        out = np.empty(H, np.float32)
+        R = hyps[:, :3, :3]
+        t = hyps[:, :3, 3]
+        block = max(1, 2_000_000 // max(len(obj_pts), 1))
+        for lo in range(0, H, block):
+            hi = min(lo + block, H)
+            q = np.einsum("hij,pj->hpi", R[lo:hi], obj_pts) + t[lo:hi, None, :]
+            c = np.floor((q - self.origin) / self.voxel).astype(np.int64)
+            inb = ((c >= 0) & (c < self.res[None, None, :])).all(axis=2)
+            cc = np.clip(c, 0, self.res[None, None, :] - 1)
+            near = self.occ[cc[..., 0], cc[..., 1], cc[..., 2]] & inb
+            out[lo:hi] = near.mean(axis=1)
+        return out
 
 
 def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
-                             verbose: bool = False
+                             verbose: bool = False,
+                             occupancy: "SceneOccupancy | None" = None
                              ) -> Tuple[np.ndarray, np.ndarray]:
     """Coarse-to-fine grid search for one object: returns (poses (K,4,4),
     scores (K,)) surviving all three levels (4 -> 3 -> 2)."""
@@ -59,7 +114,17 @@ def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
     # level 4: full lattice, keep best angle per cell above threshold
     # (pose_proposal.cpp:213-243)
     t0 = time.perf_counter()
-    s4 = batch_score(hyps, lvl)
+    if occupancy is not None:
+        ub = occupancy.score_upper_bound(obj.pos(lvl), hyps)
+        alive = ub >= config.SCORE_THRESHOLDS[lvl]
+        s4 = np.zeros(len(hyps), np.float32)
+        if alive.any():
+            s4[alive] = batch_score(hyps[alive], lvl)
+        if verbose:
+            print(f"POSE_PROPOSAL:         occupancy prune kept "
+                  f"{int(alive.sum())}/{len(hyps)} hypotheses")
+    else:
+        s4 = batch_score(hyps, lvl)
     best = {}
     for h in range(len(hyps)):
         c = cell_of_hyp[h]
@@ -165,10 +230,12 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     # one scene search grid at level 1 serves every scoring pass
     # (search_lvl = 1 throughout, pose_proposal.cpp:178,:263)
     slvl = config.SCORE_SEARCH_LVL
-    scene_grid = hashgrid.build_grid(scn_cloud.pos(slvl),
-                                     config.SCORE_SEARCH_RADII[slvl],
-                                     normals=scn_cloud.nrm(slvl))
+    scene_grid = search.build_index(scn_cloud.pos(slvl),
+                                    config.SCORE_SEARCH_RADII[slvl],
+                                    normals=scn_cloud.nrm(slvl))
     bbox = scn_cloud.bbox
+    occupancy = SceneOccupancy(scn_cloud.pos(slvl),
+                               config.SCORE_SEARCH_RADII[slvl])
 
     # --- multiresolution grid search per dynamic object ---
     proposals: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -182,7 +249,8 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
             print(f"POSE_PROPOSAL:      Searching for transformation for "
                   f"model {name}.{obj.uidx:03d} ({i})...")
         proposals.append(propose_poses_for_object(obj.cloud, scene_grid,
-                                                  bbox, verbose))
+                                                  bbox, verbose,
+                                                  occupancy=occupancy))
 
     proposals = non_maxima_suppression(db, proposals, verbose=verbose)
 
@@ -199,9 +267,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     # (main.cpp:176-204: obj/scene level 2, max_dist 0.1, 60 deg; rescore
     # at query level 1) ---
     icp_lvl = config.REFINE_ICP_LVL
-    icp_grid = hashgrid.build_grid(scn_cloud.pos(icp_lvl),
-                                   config.REFINE_ICP_MAX_DIST,
-                                   normals=scn_cloud.nrm(icp_lvl))
+    icp_grid = search.build_index(scn_cloud.pos(icp_lvl),
+                                  config.REFINE_ICP_MAX_DIST,
+                                  normals=scn_cloud.nrm(icp_lvl))
     flat_T, owners = [], []
     for i in range(len(db.objects)):
         if db.is_object_static(i) or not prop_lists[i]:

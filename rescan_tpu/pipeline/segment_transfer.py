@@ -28,7 +28,7 @@ from .. import config
 from ..core import database
 from ..core.pointcloud import PointCloud
 from ..io import paths, rsdb as rsdbio
-from ..ops import energy, hashgrid, icp, labels as labels_ops, planes
+from ..ops import energy, icp, labels as labels_ops, planes, search
 
 
 def compute_scene_saliency(db: rsdbio.Rsdb, scene_idx: int) -> None:
@@ -101,8 +101,8 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
         return
     scene = db.scenes[scene_idx].cloud
     lvl = config.SCENE_REFINE_ICP_LVL
-    grid = hashgrid.build_grid(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
-                               normals=scene.nrm(lvl))
+    grid = search.build_index(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
+                              normals=scene.nrm(lvl))
     pts = [db.objects[arr[i].object_idx].cloud.pos(lvl) for i in idxs]
     nrm = [db.objects[arr[i].object_idx].cloud.nrm(lvl) for i in idxs]
     pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm)
@@ -146,8 +146,8 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
         xform = np.linalg.inv(plc.pose.astype(np.float64)).astype(np.float32)
         if not db.is_object_static(plc.object_idx):
             model = obj.cloud
-            grid = hashgrid.build_grid(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
-                                       normals=model.nrm(0))
+            grid = search.build_index(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
+                                      normals=model.nrm(0))
             pts_b, nrm_b, mask_b = icp.pad_batch(
                 [extracted.pos(0)], [extracted.nrm(0)])
             T, _ = icp.icp_align_batched(
