@@ -33,9 +33,16 @@ def run_sequence(seq_dir: str, class_file: str,
                  poisson_recon: Optional[str] = None,
                  surface_trimmer: Optional[str] = None,
                  eval_folder: Optional[str] = None,
-                 verbose: bool = False) -> List[str]:
+                 verbose: bool = False,
+                 resume: bool = False) -> List[str]:
     """Process one scene sequence; returns the list of produced .rsdb
-    files (one per timestep)."""
+    files (one per timestep).
+
+    ``resume``: skip timesteps whose output .rsdb already exists — the
+    .rsdb database IS the pipeline's checkpoint format (every stage's
+    state round-trips through it; SURVEY.md §5 checkpoint/resume), so a
+    crashed run continues from the last completed timestep.
+    """
     gt_dir = os.path.join(seq_dir, "gt_segmentation")
     subs = list_subsequences(gt_dir)
     if not subs:
@@ -44,14 +51,19 @@ def run_sequence(seq_dir: str, class_file: str,
     produced = []
     first_ply = os.path.join(gt_dir, subs[0] + ".ply")
     prev_rsdb = os.path.join(seq_dir, subs[0] + ".rsdb")
-    seg2rsdb.main([first_ply, class_file, prev_rsdb] +
-                  (["-v"] if verbose else []))
+    if not (resume and os.path.exists(prev_rsdb)):
+        seg2rsdb.main([first_ply, class_file, prev_rsdb] +
+                      (["-v"] if verbose else []))
     produced.append(prev_rsdb)
 
     for sub in subs[1:]:
         scan_ply = os.path.join(gt_dir, sub + ".ply")
         pp_rsdb = os.path.join(seq_dir, sub + "_pp.rsdb")
         out_rsdb = os.path.join(seq_dir, sub + ".rsdb")
+        if resume and os.path.exists(out_rsdb):
+            prev_rsdb = out_rsdb
+            produced.append(out_rsdb)
+            continue
         pose_proposal.run(prev_rsdb, scan_ply, pp_rsdb, verbose)
         segment_transfer.run(pp_rsdb, out_rsdb, verbose=verbose)
         if poisson_recon and surface_trimmer:
@@ -73,20 +85,45 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Runs the full rescan segmentation pipeline")
     ap.add_argument("scene_list", help="file listing sequence dirs, one per line")
+    # reference-argv compatibility (run_segmentation_pipeline.py takes
+    # scene_list binary_folder script_folder); folders are accepted and
+    # used only to locate PoissonRecon/SurfaceTrimmer for model fusion
+    ap.add_argument("binary_folder", nargs="?", default=None)
+    ap.add_argument("script_folder", nargs="?", default=None)
     ap.add_argument("--class_file", default="nyu40_classes.txt")
     ap.add_argument("--poisson_recon", default=None)
     ap.add_argument("--surface_trimmer", default=None)
     ap.add_argument("--eval_folder", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip timesteps whose .rsdb checkpoint exists")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace into this directory")
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
 
-    base = os.path.dirname(args.scene_list)
-    with open(args.scene_list) as f:
-        sequences = [ln.strip() for ln in f if ln.strip()]
-    for seq in sequences:
-        run_sequence(os.path.join(base, seq), args.class_file,
-                     args.poisson_recon, args.surface_trimmer,
-                     args.eval_folder, args.verbose)
+    poisson, trimmer = args.poisson_recon, args.surface_trimmer
+    if args.binary_folder and not poisson:
+        cand_p = os.path.join(args.binary_folder, "PoissonRecon")
+        cand_t = os.path.join(args.binary_folder, "SurfaceTrimmer")
+        if os.path.exists(cand_p) and os.path.exists(cand_t):
+            poisson, trimmer = cand_p, cand_t
+
+    profiler_cm = None
+    if args.profile_dir:
+        import jax
+        profiler_cm = jax.profiler.trace(args.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        base = os.path.dirname(args.scene_list)
+        with open(args.scene_list) as f:
+            sequences = [ln.strip() for ln in f if ln.strip()]
+        for seq in sequences:
+            run_sequence(os.path.join(base, seq), args.class_file,
+                         poisson, trimmer, args.eval_folder, args.verbose,
+                         resume=args.resume)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
     return 0
 
 

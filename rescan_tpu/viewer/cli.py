@@ -1,0 +1,51 @@
+"""rsdb_viewer — scripted-screenshot CLI (headless).
+
+Mirrors the reference viewer's scripted screenshot mode
+(apps/rsdb_viewer/main.cpp:496-503, :1020-1028):
+
+    python -m rescan_tpu.viewer.cli <rsdb> [--output out.png]
+        [--mode rgb|class|instance] [--level N] [--resolution W H]
+        [--camera ex ey ez tx ty tz] [--scene_idx I] [--no_placements]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core import database
+from . import render
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rsdb_viewer",
+                                 description="Headless rsdb screenshot tool")
+    ap.add_argument("rsdb_filename")
+    ap.add_argument("--output", "-o", default="screenshot.png")
+    ap.add_argument("--mode", choices=("rgb", "class", "instance"),
+                    default="instance")
+    ap.add_argument("--level", type=int, default=1)
+    ap.add_argument("--resolution", nargs=2, type=int, default=(1024, 768))
+    ap.add_argument("--camera", nargs=6, type=float, default=None,
+                    help="eye xyz + target xyz")
+    ap.add_argument("--scene_idx", type=int, default=-1)
+    ap.add_argument("--no_placements", action="store_true")
+    args = ap.parse_args(argv)
+
+    db = database.load_database(args.rsdb_filename, load_pointclouds=True)
+    cam_eye = cam_tgt = None
+    if args.camera:
+        cam_eye, cam_tgt = args.camera[:3], args.camera[3:]
+    img = render.render_rsdb(
+        db, scene_idx=args.scene_idx, mode=args.mode, level=args.level,
+        width=args.resolution[0], height=args.resolution[1],
+        camera_eye=cam_eye, camera_target=cam_tgt,
+        show_placements=not args.no_placements)
+    render.write_png(args.output, img)
+    print(f"VIEWER: wrote {args.output} "
+          f"({args.resolution[0]}x{args.resolution[1]}, mode={args.mode})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,173 @@
+"""Energy terms vs hand-computed values; MRF smoothing vs exact MAP;
+distance field; viewer rendering."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from rescan_tpu import config
+from rescan_tpu.core.pointcloud import PointCloud
+from rescan_tpu.io.rsdb import Placement, RsObject, Rsdb, RsScene
+from rescan_tpu.ops import energy, distance_field
+from rescan_tpu.utils import synthetic
+
+
+def _mini_db(tmp_path):
+    spec = synthetic.SceneSpec(room_size=(1.6, 1.6), wall_height=0.9, objects=[
+        ("chair", (0.45, 0.45), (0.35, 0.5, 0.35), 0.0),
+        ("table", (1.1, 1.0), (0.5, 0.4, 0.35), 0.0)])
+    path = str(tmp_path / "scene.ply")
+    synthetic.save_scene_ply(path, spec, resolution=6)
+    scene = PointCloud.from_ply(path)
+    db = Rsdb()
+    db.class_table = {n: i for i, n in enumerate(synthetic.NYU40_CLASSES)}
+    for k, inst in enumerate([3, 4]):
+        sub = scene.extract_by_ids(0, "instance_ids", [inst],
+                                   compute_levels=True)
+        db.objects.append(RsObject(uidx=inst, filename=f"o{inst}.ply",
+                                   class_idx=5 + k, cloud=sub))
+    db.scenes.append(RsScene(uidx=0, arrangement_idx=0, scn_filename=path,
+                             cloud=scene))
+    db.arrangements.append([])
+    eye = np.eye(4, dtype=np.float32)
+    poses = [np.stack([eye]), np.stack([eye])]
+    scores = [np.array([0.9], np.float32), np.array([0.8], np.float32)]
+    db.proposed_poses.append(poses)
+    db.proposed_scores.append(scores)
+    return db, poses, scores
+
+
+def test_energy_terms(tmp_path):
+    db, poses, scores = _mini_db(tmp_path)
+    scene = db.scenes[0].cloud
+    # mark everything salient so coverage is meaningful
+    for lvl in range(5):
+        db.scenes[0].cloud.levels[lvl]["qualities"][:] = 1.0
+    ctx = energy.build_context(db, 0, poses, scores)
+
+    eye = np.eye(4, dtype=np.float32)
+    p0 = Placement(3, 0, 0, 0, eye, 0.9)
+    p1 = Placement(4, 0, 1, 0, eye, 0.8)
+
+    # geometry = mean of scores
+    assert energy.geometry_score([p0, p1]) == pytest.approx(0.85)
+    assert energy.geometry_score([]) == 0.0
+
+    # coverage grows when adding the second object, and both objects at
+    # their true poses cover their own footprints
+    c1 = energy.coverage_score(ctx, db, [p0])
+    c2 = energy.coverage_score(ctx, db, [p0, p1])
+    assert 0 < c1 < c2 <= 1.0
+
+    # intersection: far-apart objects -> ~1; coincident objects -> lower
+    s_far = energy.intersection_score(ctx, db, [p0, p1])
+    p1_on_p0 = Placement(4, 0, 1, 0,
+                         np.array(db.objects[0].cloud.centroid(0).tolist()
+                                  + [1], np.float32) * 0 + eye, 0.8)
+    # move object 1 onto object 0's centroid
+    m = eye.copy()
+    c0 = db.objects[0].cloud.centroid(0)
+    c1_ = db.objects[1].cloud.centroid(0)
+    m[:3, 3] = c0 - c1_
+    s_near = energy.intersection_score(ctx, db, [p0, Placement(4, 0, 1, 0, m, 0.8)])
+    assert s_near < s_far <= 1.0
+
+    # hysteresis: empty arrangement -> 0; novel objects get the 0.375 bonus
+    assert energy.hysteresis_score(db, [], 1) == 0.0
+    h = energy.hysteresis_score(db, [p0, p1], 0)
+    assert h == pytest.approx(0.375)
+    # duplicates are punished into the floor
+    hd = energy.hysteresis_score(db, [p0, Placement(3, 0, 0, 0, eye, 0.9)], 0)
+    assert hd == 0.0
+
+
+def test_greedy_picks_true_poses(tmp_path):
+    db, poses, scores = _mini_db(tmp_path)
+    for lvl in range(5):
+        db.scenes[0].cloud.levels[lvl]["qualities"][:] = 1.0
+    ctx = energy.build_context(db, 0, poses, scores)
+    opts = config.ArrangementOpts(n_past_steps=0)
+    energy.greedy_optimize(ctx, db, 0, opts)
+    uids = sorted(p.uidx for p in db.arrangements[0])
+    assert uids == [3, 4]
+
+
+def _mrf_bruteforce(n, n_labels, unary, edges, w):
+    best, best_e = None, np.inf
+    for lab in itertools.product(range(n_labels), repeat=n):
+        e = sum(unary[i][lab[i]] for i in range(n))
+        e += sum(wi * (lab[a] != lab[b]) for (a, b), wi in zip(edges, w))
+        if e < best_e:
+            best_e, best = e, lab
+    return np.array(best), best_e
+
+
+def test_smoothing_reaches_exact_map(tmp_path):
+    """The mean-field + ICM substitution must reach the exact MAP labeling
+    of a small MRF with the pipeline's cost structure (the designated gco
+    replacement; BASELINE.json)."""
+    import jax
+    from rescan_tpu.ops import labels as labels_ops
+    from rescan_tpu.core import native  # noqa: F401  (host grid used inside)
+
+    # build a tiny scene: 10 points on a line, two segments with a noisy
+    # boundary point
+    n = 10
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.arange(n) * 0.03
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (n, 1))
+    init = np.array([1, 1, 1, 1, 2, 1, 2, 2, 2, 2], np.int32)  # noisy mid
+    db = Rsdb()
+    db.class_table = {n_: i for i, n_ in enumerate(synthetic.NYU40_CLASSES)}
+
+    cloud = PointCloud.from_arrays({
+        "positions": pts, "normals": nrm,
+        "colors": np.zeros((n, 3), np.float32),
+        "radii": np.full(n, 0.01, np.float32),
+        "qualities": np.ones(n, np.float32),
+        "class_ids": np.full(n, 5, np.int32),        # chair (dynamic)
+        "instance_ids": init - 1}, compute_levels=True)
+    # force level 1 == inputs for determinism of the test
+    cloud.levels[1] = {k: v.copy() for k, v in cloud.levels[0].items()}
+
+    labels_ops.smooth_labels(db, cloud)
+    out = cloud.levels[1]["instance_ids"]
+
+    # exact MAP via brute force over the same energy
+    edges, w = labels_ops.build_smoothing_graph(cloud)
+    pair_w = (np.floor(w * config.SMOOTH_EDGE_COST) * config.SMOOTH_EDGE_COST)
+    n_labels = int(init.max()) + 5
+    unary = np.full((n, n_labels), config.SMOOTH_COST_DYNAMIC, np.float64)
+    unary[np.arange(n), init] = 0.0
+    exact, _ = _mrf_bruteforce(n, 3, unary[:, :3],
+                               [tuple(e) for e in edges], pair_w)
+    np.testing.assert_array_equal(out + 1, exact)
+
+
+def test_distance_field(rng):
+    pts = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
+    df = distance_field.build_distance_field(pts, voxel=0.05, max_dist=0.8)
+    # on-surface points -> ~0
+    d = df.lookup(pts[:100])
+    assert d.max() < 0.1
+    # far point -> capped or large
+    far = np.array([[0.5, 0.5, 5.0]], np.float32)
+    assert df.lookup(far)[0] > 0.5
+
+
+def test_viewer_png(tmp_path):
+    from rescan_tpu.viewer import render
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[8:16, 8:16] = (255, 0, 0)
+    p = str(tmp_path / "t.png")
+    render.write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in data
+
+    pts = np.random.default_rng(0).uniform(0, 1, (500, 3)).astype(np.float32)
+    view = render.look_at([2, 2, 2], [0.5, 0.5, 0.5])
+    im = render.render_points(pts, np.full((500, 3), 0.8, np.float32), view,
+                              width=64, height=48)
+    assert im.shape == (48, 64, 3)
+    assert (im != np.array([20, 20, 24], np.uint8)).any()  # something drawn
