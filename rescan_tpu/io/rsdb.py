@@ -271,7 +271,10 @@ def save_pose_proposals(path: str, poses: List[np.ndarray],
 
 
 def load_pose_proposals(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Read the pose-proposal .bin (apps/segment_transfer/main.cpp:143-193)."""
+    """Read the pose-proposal .bin (apps/segment_transfer/main.cpp:143-193).
+
+    Returns (poses, scores): per object, a list of (4,4) float32 poses
+    (best-first) and a matching (k,) float32 score array."""
     with open(path, "rb") as f:
         n = struct.unpack("<i", f.read(4))[0]
         counts = np.frombuffer(f.read(4 * n), dtype="<i4", count=n)

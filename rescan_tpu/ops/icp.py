@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from . import hashgrid, search
+from . import search
 
 
 def _rotation_xyz(ax, ay, az):

@@ -23,7 +23,7 @@ This substitution is the designated algorithm change of the rebuild
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -112,25 +112,34 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, scene_ref,
 
 @jax.tree_util.register_pytree_node_class
 class SortedSlab:
-    """Scene packed for the Pallas kernel: cell-sorted (8, N_pad) slab,
-    per-tile bounds, and the sort permutation to original indices."""
+    """Scene packed for the Pallas kernels: cell-sorted (8, N_pad) slab,
+    per-tile bounds, and the sort permutation to original indices.
+
+    ``host_bounds`` is a host-side (n_tiles, 6) numpy copy of the tile
+    bounds (min xyz, max xyz) used to precompute per-query-block near-tile
+    lists for the scalar-prefetch kernel; the LAST tile is always an empty
+    sentinel (all padding) that list slots can point at harmlessly.
+    """
 
     def __init__(self, slab, tile_bounds, perm, n_valid, center,
-                 n_tiles: int):
+                 n_tiles: int, host_bounds=None):
         self.slab = slab                # (8, N_pad) f32
         self.tile_bounds = tile_bounds  # (n_tiles, 8) f32
         self.perm = perm                # (N_pad,) original index of column
         self.n_valid = n_valid
         self.center = center            # (3,)
         self.n_tiles = n_tiles
+        self.host_bounds = host_bounds  # np (n_tiles, 6) or None
 
     def tree_flatten(self):
+        # host_bounds stays host-only (numpy is unhashable as jit aux);
+        # traced reconstructions don't need it
         return ((self.slab, self.tile_bounds, self.perm, self.n_valid,
                  self.center), (self.n_tiles,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_tiles=aux[0])
+        return cls(*children, n_tiles=aux[0], host_bounds=None)
 
 
 def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
@@ -152,25 +161,62 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     order = np.argsort(key, kind="stable")
     p = p[order]
     nr = nrm[order]
+    oidx = order.astype(np.int32)
 
-    n_pad = max(((n + SCENE_TILE - 1) // SCENE_TILE) * SCENE_TILE, SCENE_TILE)
+    # bbox-limited tile segmentation: a raw Morton chunking leaves some
+    # tiles straddling octant jumps with huge bounds, and those tiles are
+    # never pruned by ANY query block. Greedily cut a new (padded) tile
+    # whenever the running bbox side would exceed max_side; padding slots
+    # point far away and contribute +inf distances.
+    # NOTE: measured on v5e, the production kernel's per-tile iteration
+    # cost (~4us even when skipped) outweighs tighter pruning, so the
+    # default is effectively unlimited; the experimental host-list kernel
+    # benefits from ~0.9 m tiles.
+    max_side = 6.0
+    segments = []
+    start = 0
+    if n:
+        run_min = p[0].copy()
+        run_max = p[0].copy()
+        for i in range(1, n):
+            nmn = np.minimum(run_min, p[i])
+            nmx = np.maximum(run_max, p[i])
+            if (i - start >= SCENE_TILE) or ((nmx - nmn).max() > max_side):
+                segments.append((start, i))
+                start = i
+                run_min = p[i].copy()
+                run_max = p[i].copy()
+            else:
+                run_min, run_max = nmn, nmx
+        segments.append((start, n))
+    else:
+        segments = [(0, 0)]
+
+    segments.append((n, n))  # trailing EMPTY sentinel tile (all padding)
+    n_tiles = len(segments)
+    n_pad = n_tiles * SCENE_TILE
     slab = np.zeros((8, n_pad), np.float32)
-    slab[0:3, :n] = p.T
-    slab[3, :n] = (p * p).sum(1)
-    slab[4:7, :n] = nr.T
-    slab[0:3, n:] = 1e6          # padding far away
-    slab[3, n:] = 3e12
-    n_tiles = n_pad // SCENE_TILE
-    tb = np.zeros((n_tiles, 8), np.float32)
-    for t in range(n_tiles):
-        seg = slab[0:3, t * SCENE_TILE:(t + 1) * SCENE_TILE]
-        tb[t, 0:3] = seg.min(1)
-        tb[t, 4:7] = seg.max(1)
+    slab[0:3, :] = 1e6
+    slab[3, :] = 3e12
     perm = np.full(n_pad, -1, np.int32)
-    perm[:n] = order.astype(np.int32)
+    tb = np.zeros((n_tiles, 8), np.float32)
+    for t, (a, b) in enumerate(segments):
+        k = b - a
+        o = t * SCENE_TILE
+        slab[0:3, o:o + k] = p[a:b].T
+        slab[3, o:o + k] = (p[a:b] * p[a:b]).sum(1)
+        slab[4:7, o:o + k] = nr[a:b].T
+        perm[o:o + k] = oidx[a:b]
+        if k:
+            tb[t, 0:3] = p[a:b].min(0)
+            tb[t, 4:7] = p[a:b].max(0)
+        else:
+            tb[t, 0:3] = 1e6
+            tb[t, 4:7] = 1e6
+    host_bounds = np.concatenate([tb[:, 0:3], tb[:, 4:7]], axis=1)
     return SortedSlab(jnp.asarray(slab), jnp.asarray(tb), jnp.asarray(perm),
                       jnp.asarray(n, jnp.int32), jnp.asarray(center),
-                      n_tiles)
+                      n_tiles, host_bounds=host_bounds)
 
 
 @functools.partial(jax.jit, static_argnames=("use_abs_dot",))
@@ -232,3 +278,140 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
     safe = jnp.maximum(idx, 0)
     oidx = jnp.where(idx >= 0, slab.perm[safe], -1)
     return oidx, d2, dot
+
+
+# ---------------------------------------------------------------------------
+# Scalar-prefetch variant: host-computed near-tile lists
+# ---------------------------------------------------------------------------
+
+def _nn_list_kernel(tl_ref, q_ref, scene_ref, idx_ref, d2_ref, dot_ref,
+                    *, use_abs_dot: bool, max_near: int):
+    """Grid = (n_blocks, max_near): each step is ONE (query block, near
+    scene tile) pair; the tile index comes from the scalar-prefetched list
+    so there are no skipped loop iterations at all, and Pallas streams the
+    scene tiles from HBM (no VMEM residency requirement -> scales to 1M+
+    point scenes). Output blocks are revisited across the inner grid dim
+    and act as running-min accumulators.
+
+    The radius^2 / cos-gate scalars travel in the query slab's spare row 7
+    (columns 0 and 1).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[:]                               # (8, BQ)
+    r2 = q_ref[7, 0]
+    cos_gate = q_ref[7, 1]
+
+    @pl.when(j == 0)
+    def _():
+        idx_ref[0, :] = jnp.full((QUERY_BLOCK,), -1, jnp.int32)
+        d2_ref[0, :] = jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32)
+        dot_ref[0, :] = jnp.zeros((QUERY_BLOCK,), jnp.float32)
+
+    t = tl_ref[i * max_near + j]
+    s = scene_ref[:]                           # (8, SCENE_TILE), DMA'd tile
+    cross = jax.lax.dot_general(
+        q[0:3, :], s[0:3, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)    # (BQ, T)
+    d2 = q[3, :][:, None] + s[3, :][None, :] - 2.0 * cross
+    ndot = jax.lax.dot_general(
+        q[4:7, :], s[4:7, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    gate = jnp.abs(ndot) if use_abs_dot else jnp.maximum(ndot, 0.0)
+    ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
+    d2m = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf)
+    tb = jnp.argmin(d2m, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
+    sel = cols == tb[:, None]
+    td2 = jnp.min(d2m, axis=1)
+    tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
+    tidx = t * SCENE_TILE + tb
+
+    best = d2_ref[0, :]
+    better = td2 < best
+    d2_ref[0, :] = jnp.where(better, td2, best)
+    idx_ref[0, :] = jnp.where(better, tidx, idx_ref[0, :])
+    dot_ref[0, :] = jnp.where(better, tdot, dot_ref[0, :])
+
+
+def block_near_tiles(slab: SortedSlab, block_bounds: np.ndarray,
+                     radius: float) -> np.ndarray:
+    """Host: per-query-block near-tile lists, padded with the empty
+    sentinel tile. block_bounds is (n_blocks, 6) (min xyz, max xyz) in the
+    slab's CENTERED coordinates. Returns (n_blocks, max_near) int32."""
+    hb = slab.host_bounds                       # (n_tiles, 6)
+    assert hb is not None, "slab built without host bounds"
+    sentinel = slab.n_tiles - 1
+    tmin, tmax = hb[:, 0:3], hb[:, 3:6]
+    bmin = block_bounds[:, 0:3] - radius
+    bmax = block_bounds[:, 3:6] + radius
+    near = ((tmin[None] <= bmax[:, None]) & (tmax[None] >= bmin[:, None])
+            ).all(axis=2)                       # (n_blocks, n_tiles)
+    near[:, sentinel] = False
+    counts = near.sum(axis=1)
+    max_near = int(counts.max()) if len(counts) else 1
+    max_near = max(1 << int(np.ceil(np.log2(max(max_near, 1)))), 4)
+    out = np.full((len(near), max_near), sentinel, np.int32)
+    for b in range(len(near)):
+        ids = np.where(near[b])[0]
+        out[b, :len(ids)] = ids
+    return out
+
+
+def nearest_gated_hostlist(slab: SortedSlab, q_slab: np.ndarray,
+                           tile_list: np.ndarray, radius: float,
+                           cos_gate: float, use_abs_dot: bool = False):
+    """Gated 1-NN with host-provided near-tile lists.
+
+    q_slab: (8, M) numpy query slab in CENTERED coordinates (rows x y z
+    |q|^2 nx ny nz spare); M must be a multiple of QUERY_BLOCK. Row 7
+    columns 0/1 are overwritten with radius^2 / cos_gate.
+    Returns (idx in ORIGINAL order, exact d2, gated dot).
+    """
+    m = q_slab.shape[1]
+    n_blocks = m // QUERY_BLOCK
+    max_near = tile_list.shape[1]
+    q_slab = np.ascontiguousarray(q_slab, np.float32)
+    # every block reads ITS slice's columns 0/1 of row 7: replicate the
+    # scalars across the whole row (even cols r^2, odd cols cos gate)
+    q_slab[7, 0::2] = radius * radius
+    q_slab[7, 1::2] = cos_gate
+
+    kernel = functools.partial(_nn_list_kernel, use_abs_dot=use_abs_dot,
+                               max_near=max_near)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, max_near),
+        in_specs=[
+            pl.BlockSpec((8, QUERY_BLOCK), lambda i, j, tl: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SCENE_TILE),
+                         lambda i, j, tl: (0, tl[i * max_near + j]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    idx, d2, dot = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ],
+    )(jnp.asarray(tile_list.reshape(-1)), jnp.asarray(q_slab), slab.slab)
+
+    idx = idx[0]
+    safe = jnp.maximum(idx, 0)
+    oidx = jnp.where(idx >= 0, slab.perm[safe], -1)
+    return oidx, d2[0], dot[0]

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from . import hashgrid, search
+from . import search
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -87,13 +87,95 @@ def score_hypotheses(grid, obj_pts: jax.Array,
 MAX_QUERIES_PER_LAUNCH = 32768
 
 
+def score_hypotheses_slab(slab, obj_pts: np.ndarray, obj_nrm: np.ndarray,
+                          hyps: np.ndarray, radius, sigma) -> np.ndarray:
+    """Fast TPU scoring path: hypotheses are host-known, so queries and
+    per-query-block NEAR-TILE LISTS are computed on the host and the
+    scalar-prefetch Pallas kernel touches exactly the scene tiles each
+    block needs — no scanned/skipped iterations at all."""
+    from . import pallas_nn
+
+    p = len(obj_pts)
+    pp = 1 << max(int(np.ceil(np.log2(max(p, 1)))), 0)
+    bq = pallas_nn.QUERY_BLOCK
+    h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
+    pts_p = np.zeros((pp, 3), np.float32)
+    pts_p[:p] = obj_pts
+    nrm_p = np.zeros((pp, 3), np.float32)
+    nrm_p[:p] = obj_nrm
+    center = np.asarray(slab.center)
+    cos_gate = float(np.cos(np.deg2rad(config.SCORE_MAX_ANGLE_DEG)))
+    valid_col = np.zeros(pp, bool)
+    valid_col[:p] = True
+
+    h = len(hyps)
+    out = np.empty(h, np.float32)
+    pending = []
+    for lo in range(0, max(h, 1), h_slice):
+        sl = hyps[lo:lo + h_slice]
+        mats = np.tile(np.eye(4, dtype=np.float32), (h_slice, 1, 1))
+        mats[:len(sl)] = sl
+        R = mats[:, :3, :3]
+        t = mats[:, :3, 3]
+        q = (np.einsum("hij,pj->hpi", R, pts_p) + t[:, None, :]
+             - center[None, None, :]).astype(np.float32)
+        qn = np.einsum("hij,pj->hpi", R, nrm_p).astype(np.float32)
+        m = h_slice * pp
+        qf = q.reshape(m, 3)
+        qslab = np.zeros((8, m), np.float32)
+        qslab[0:3] = qf.T
+        qslab[3] = (qf * qf).sum(1)
+        qslab[4:7] = qn.reshape(m, 3).T
+        # per-block bounds over VALID columns only (padding points sit at
+        # the hypothesis origin and would inflate the block bbox)
+        vmask = np.tile(valid_col, h_slice)
+        big = np.float32(1e9)
+        qv = np.where(vmask[:, None], qf, big)
+        bmin = qv.reshape(-1, bq, 3).min(axis=1)
+        qv = np.where(vmask[:, None], qf, -big)
+        bmax = qv.reshape(-1, bq, 3).max(axis=1)
+        tl = pallas_nn.block_near_tiles(
+            slab, np.concatenate([bmin, bmax], axis=1), float(radius))
+        idx, d2, dot = pallas_nn.nearest_gated_hostlist(
+            slab, qslab, tl, float(radius), cos_gate)
+        pending.append((lo, len(sl), idx, d2, dot, vmask))
+
+    for lo, n_sl, idx, d2, dot, vmask in pending:
+        idx = np.asarray(idx)
+        d2 = np.asarray(d2)
+        dot = np.clip(np.asarray(dot), 0.0, 1.0)
+        found = (idx >= 0) & vmask
+        ang = np.arccos(dot)
+        contrib = (config.SCORE_ALPHA
+                   * np.exp(-(ang * ang) / (2 * config.SCORE_NORMAL_SIGMA ** 2))
+                   + (1 - config.SCORE_ALPHA) * np.exp(-d2 / (2 * sigma * sigma)))
+        contrib = np.where(found, contrib, 0.0)
+        s = contrib.reshape(-1, pp).sum(axis=1) / max(p, 1)
+        out[lo:lo + n_sl] = s[:n_sl]
+    return out
+
+
 def score_hypotheses_bucketed(grid, obj_pts: np.ndarray,
                               obj_nrm: np.ndarray, hyps: np.ndarray,
                               radius, sigma, chunk: int = 2048) -> np.ndarray:
-    """Host wrapper: pad points and hypotheses to powers of two (capped at
-    MAX_HYPS_PER_LAUNCH, slicing larger batches) so compiled kernels are
-    reused across objects/levels/stages; returns (H,) scores."""
+    """Host wrapper: pad points to pow2 and slice hypotheses so each launch
+    is one fixed-shape query chunk; compiled kernels are reused across
+    objects/levels/stages. Returns (H,) scores."""
     import jax.numpy as jnp
+    from . import pallas_nn
+
+    # NOTE: the scalar-prefetch host-list path (score_hypotheses_slab) is
+    # kept EXPERIMENTAL and off: numerically correct (matches the plain
+    # kernel to 1e-6) but measured ~30x slower at full lattice scale on
+    # this TPU — per-grid-step tile DMA appears unpipelined under
+    # PrefetchScalarGridSpec here. The VMEM-resident kernel below is the
+    # production path; revisit with explicit double-buffered DMA.
+    use_experimental_hostlist = False
+    if (use_experimental_hostlist
+            and isinstance(grid, pallas_nn.SortedSlab)
+            and grid.host_bounds is not None):
+        return score_hypotheses_slab(grid, obj_pts, obj_nrm, hyps,
+                                     radius, sigma)
 
     def pow2(n):
         return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)

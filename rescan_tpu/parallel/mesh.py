@@ -17,7 +17,7 @@ hypothesis workload). No custom transport: XLA lowers the psum onto ICI.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from .. import config
+
 from ..core.pointcloud import PointCloud
 from ..io import paths, rsdb as rsdbio
 from ..utils.timing import stage_timer

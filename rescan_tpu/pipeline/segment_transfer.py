@@ -26,7 +26,7 @@ import numpy as np
 
 from .. import config
 from ..core import database
-from ..core.pointcloud import PointCloud
+
 from ..io import paths, rsdb as rsdbio
 from ..ops import energy, icp, labels as labels_ops, planes, search
 

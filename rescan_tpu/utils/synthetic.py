@@ -9,7 +9,7 @@ label conventions as the reference data (NYU40 class ids; GT instance ids).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

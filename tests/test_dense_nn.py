@@ -116,3 +116,20 @@ def test_icp_works_with_dense_index(rng):
     assert float(err[0]) < 0.02
     moved = obj @ np.asarray(T[0])[:3, :3].T + np.asarray(T[0])[:3, 3]
     assert np.abs(moved - pts[:800]).mean() < 0.02
+
+
+def test_hostlist_kernel_interpret(rng):
+    """Experimental scalar-prefetch path agrees with the production kernel
+    (interpret mode on CPU keeps it from rotting)."""
+    from rescan_tpu.ops import pallas_nn, score as score_mod
+    pts, nrm, q, qn = _data(rng, 1200, 0)
+    slab = pallas_nn.build_sorted_slab(pts, nrm)
+    obj = pts[:64] + 0.01
+    objn = nrm[:64]
+    hyps = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    hyps[:, 0, 3] = np.linspace(-0.05, 0.05, 5)
+    fast = score_mod.score_hypotheses_slab(slab, obj, objn, hyps, 0.1, 0.1)
+    ref = np.asarray(score_mod.score_hypotheses(
+        slab, jnp.asarray(np.pad(obj, ((0, 0), (0, 0)))),
+        jnp.asarray(objn), jnp.ones(64, bool), jnp.asarray(hyps), 0.1, 0.1))
+    np.testing.assert_allclose(fast, ref, atol=1e-5)
