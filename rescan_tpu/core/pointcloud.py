@@ -183,6 +183,38 @@ class PointCloud:
                     L["positions"] = (L["positions"] @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
                     L["normals"] = (L["normals"] @ m[:3, :3].T).astype(np.float32)
 
+    def pt2pt_alignment_score(self, other: "PointCloud", xform: np.ndarray,
+                              dist_threshold: float, lvl: int) -> float:
+        """Symmetric point-to-point alignment score
+        (rs_pointcloud__pt2pt_alignment_score, rs_pointcloud.h:454-530):
+        sum of exp(-d2 / (2 * 0.1^2)) over 1-NN radius matches in both
+        directions (self transformed into `other`'s frame, and `other`
+        inverse-transformed into self's), divided by the total point count.
+
+        The reference's b2a pass queries only n_pts_a of the b points
+        (rs_pointcloud.h:510 reuses n_query_pts = n_pts_a) — a pre-existing
+        bug in an API with no callers in the pipeline binaries; we implement
+        the intended fully symmetric form.
+        """
+        from . import native
+        m = np.asarray(xform, np.float64)
+        sigma = 0.1
+        pa = self.pos(lvl)
+        pb = other.pos(lvl)
+
+        def one_way(query, target):
+            grid = native.HostGrid(target, dist_threshold)
+            _, d2, cnt = grid.radius_search(query, dist_threshold, 1)
+            hit = cnt > 0
+            return float(np.sum(np.exp(-d2[hit, 0] /
+                                       (2.0 * sigma * sigma))))
+
+        a_in_b = (pa @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+        inv = np.linalg.inv(m)
+        b_in_a = (pb @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+        score = one_way(a_in_b, pb) + one_way(b_in_a, pa)
+        return score / (len(pa) + len(pb))
+
     # ------------------------------------------------------------------
     # I/O
     # ------------------------------------------------------------------

@@ -215,6 +215,42 @@ def split_connected_components(models: List[PlaneModel], pts: np.ndarray
     return out
 
 
+def segment_graph(n_vertices: int, edges: np.ndarray, weights: np.ndarray,
+                  c: float) -> np.ndarray:
+    """Felzenszwalb-Huttenlocher graph segmentation
+    (rspf__segment_graph, rs_pointcloud_filters.cpp:991-1014; unused by the
+    reference's main path but part of its filter API): process edges in
+    non-decreasing weight order, merging components when the edge weight is
+    below both components' adaptive thresholds tau = max_internal_weight +
+    c / component_size. Returns (n_vertices,) int32 component labels,
+    renumbered densely in first-occurrence order."""
+    order = np.argsort(weights, kind="stable")
+    edges = np.asarray(edges, np.int64)[order]
+    weights = np.asarray(weights, np.float64)[order]
+    parent = np.arange(n_vertices)
+    size = np.ones(n_vertices, np.int64)
+    threshold = np.full(n_vertices, float(c), np.float64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), w in zip(edges, weights):
+        ra, rb = find(int(a)), find(int(b))
+        if ra == rb:
+            continue
+        if w <= threshold[ra] and w <= threshold[rb]:
+            parent[ra] = rb
+            size[rb] += size[ra]
+            threshold[rb] = w + c / size[rb]
+    roots = np.array([find(i) for i in range(n_vertices)])
+    _, first = np.unique(roots, return_index=True)
+    remap = {int(roots[i]): k for k, i in enumerate(np.sort(first))}
+    return np.array([remap[int(r)] for r in roots], np.int32)
+
+
 def refine_models(models: List[PlaneModel], pts: np.ndarray,
                   nrm: np.ndarray) -> None:
     """rspf__refine_plane_models (rs_pointcloud_filters.cpp:438-490):

@@ -107,8 +107,10 @@ def make_scene_mesh(spec: SceneSpec, resolution: int = 24,
     h = spec.wall_height
     parts = []  # (verts, faces, class_name, instance_id)
 
-    fv, ff = _grid_plane([0, 0, 0], [w / resolution, 0, 0],
-                         [0, 0, d / resolution], resolution, resolution)
+    # winding chosen so the floor normal points +y (toward the scanner),
+    # matching real scan data
+    fv, ff = _grid_plane([0, 0, 0], [0, 0, d / resolution],
+                         [w / resolution, 0, 0], resolution, resolution)
     parts.append((fv, ff, "floor", 0))
     wall_res = max(resolution // 2, 2)
     walls = [

@@ -6,6 +6,7 @@ Mirrors the reference viewer's scripted screenshot mode
     python -m rescan_tpu.viewer.cli <rsdb> [--output out.png]
         [--mode rgb|class|instance] [--level N] [--resolution W H]
         [--camera ex ey ez tx ty tz] [--scene_idx I] [--no_placements]
+        [--placement_mode optimized|proposals|identity]
 """
 
 from __future__ import annotations
@@ -30,9 +31,21 @@ def main(argv=None) -> int:
                     help="eye xyz + target xyz")
     ap.add_argument("--scene_idx", type=int, default=-1)
     ap.add_argument("--no_placements", action="store_true")
+    ap.add_argument("--placement_mode",
+                    choices=("optimized", "proposals", "identity"),
+                    default="optimized")
     args = ap.parse_args(argv)
 
     db = database.load_database(args.rsdb_filename, load_pointclouds=True)
+    if args.placement_mode == "proposals":
+        # the reference viewer loads the proposal .bin alongside the rsdb
+        # (apps/rsdb_viewer/main.cpp:647-661)
+        from ..io import rsdb as rsdbio
+        for i, s in enumerate(db.scenes):
+            if s.pose_proposal_filename:
+                p, sc = rsdbio.load_pose_proposals(s.pose_proposal_filename)
+                db.proposed_poses[i] = p
+                db.proposed_scores[i] = sc
     cam_eye = cam_tgt = None
     if args.camera:
         cam_eye, cam_tgt = args.camera[:3], args.camera[3:]
@@ -40,7 +53,8 @@ def main(argv=None) -> int:
         db, scene_idx=args.scene_idx, mode=args.mode, level=args.level,
         width=args.resolution[0], height=args.resolution[1],
         camera_eye=cam_eye, camera_target=cam_tgt,
-        show_placements=not args.no_placements)
+        show_placements=not args.no_placements,
+        placement_mode=args.placement_mode)
     render.write_png(args.output, img)
     print(f"VIEWER: wrote {args.output} "
           f"({args.resolution[0]}x{args.resolution[1]}, mode={args.mode})")

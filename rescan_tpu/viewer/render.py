@@ -123,28 +123,47 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
                 level: int = 1, width: int = 1024, height: int = 768,
                 camera_eye: Optional[Sequence[float]] = None,
                 camera_target: Optional[Sequence[float]] = None,
-                show_placements: bool = True) -> np.ndarray:
-    """Render a database scene + its arrangement's placed objects
-    (the viewer's 'optimized' vis mode; identity/proposal modes come from
-    passing different poses)."""
+                show_placements: bool = True,
+                placement_mode: str = "optimized") -> np.ndarray:
+    """Render a database scene + placed objects. `placement_mode` mirrors
+    the reference viewer's vis modes (apps/rsdb_viewer/main.cpp:81):
+    'optimized' draws the arrangement's poses, 'proposals' the top proposal
+    per object, 'identity' the objects at canonical pose."""
     scene = db.scenes[scene_idx].cloud
     L = scene.levels[level]
     pts = [L["positions"]]
     cols = [colorize(L, mode)]
     nrms = [L["normals"]]
-    if show_placements:
+
+    def placements():
         arr_idx = scene_idx if scene_idx >= 0 else len(db.arrangements) - 1
-        for p in db.arrangements[arr_idx]:
-            obj = db.objects[p.object_idx].cloud
+        if placement_mode == "optimized":
+            for p in db.arrangements[arr_idx]:
+                yield p.object_idx, p.pose, p.uidx
+        elif placement_mode == "proposals":
+            poses = ((db.proposed_poses[arr_idx] or [])
+                     if db.proposed_poses else [])
+            for oi, obj_poses in enumerate(poses):
+                if len(obj_poses):
+                    yield oi, np.asarray(obj_poses[0]), db.objects[oi].uidx
+        elif placement_mode == "identity":
+            for oi, o in enumerate(db.objects):
+                yield oi, np.eye(4, dtype=np.float32), o.uidx
+        else:
+            raise ValueError(f"unknown placement_mode {placement_mode}")
+
+    if show_placements:
+        for object_idx, pose, uidx in placements():
+            obj = db.objects[object_idx].cloud
             if obj is None:
                 continue
             Lo = obj.levels[level]
-            w = Lo["positions"] @ p.pose[:3, :3].T + p.pose[:3, 3]
+            w = Lo["positions"] @ pose[:3, :3].T + pose[:3, 3]
             pts.append(w)
             fake = dict(Lo)
-            fake["instance_ids"] = np.full(len(w), p.uidx, np.int32)
+            fake["instance_ids"] = np.full(len(w), uidx, np.int32)
             cols.append(colorize(fake, mode))
-            nrms.append(Lo["normals"] @ p.pose[:3, :3].T)
+            nrms.append(Lo["normals"] @ pose[:3, :3].T)
     pts = np.concatenate(pts)
     cols = np.concatenate([np.asarray(c, np.float64) / (255.0 if
                           np.asarray(c).dtype == np.uint8 else 1.0)
