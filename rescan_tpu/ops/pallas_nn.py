@@ -35,14 +35,16 @@ QUERY_BLOCK = 256
 SCENE_TILE = 2048
 
 
-def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, scene_ref,
-               idx_ref, d2_ref, dot_ref, *, use_abs_dot: bool,
+def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
+               scene_ref, idx_ref, d2_ref, dot_ref, *, use_abs_dot: bool,
                n_tiles: int):
     """One query block vs all scene tiles.
 
     q_ref:     (8, QUERY_BLOCK)  rows: x y z |q|^2 nx ny nz pad
     scene_ref: (8, N_pad)        rows: x y z |p|^2 nx ny nz pad
     tile_bounds_ref: (n_tiles, 8) in SMEM: xmin ymin zmin _ xmax ymax zmax _
+    bounds_v_ref: (8, NT_pad) in VMEM: same bounds transposed, padded with
+        min=+1e6 / max=-1e6 so padding tiles are never near
     outputs: (1, QUERY_BLOCK) best idx / d2 / dot for this block
     """
     r2 = rad_ref[0]
@@ -55,6 +57,20 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, scene_ref,
     bymin, bymax = jnp.min(qy), jnp.max(qy)
     bzmin, bzmax = jnp.min(qz), jnp.max(qz)
     rad = jnp.sqrt(r2)
+
+    # vectorized near-mask over ALL tiles -> dynamic loop range [lo, hi).
+    # The per-tile loop iteration costs ~4 us on v5e even when the bbox
+    # test skips the body, so shrinking the trip count to the first..last
+    # near tile (typically ~10% of the Morton range for an object-sized
+    # query block) is worth far more than any in-loop pruning.
+    tbv = bounds_v_ref[:]               # (8, NT_pad)
+    ntp = tbv.shape[1]
+    near_all = ((tbv[0:1, :] <= bxmax + rad) & (tbv[4:5, :] >= bxmin - rad) &
+                (tbv[1:2, :] <= bymax + rad) & (tbv[5:6, :] >= bymin - rad) &
+                (tbv[2:3, :] <= bzmax + rad) & (tbv[6:7, :] >= bzmin - rad))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, ntp), 1)
+    lo = jnp.min(jnp.where(near_all, ii, ntp))
+    hi = jnp.max(jnp.where(near_all, ii, -1)) + 1
 
     def tile_step(t, carry):
         best_d2, best_idx, best_dot = carry
@@ -102,7 +118,7 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, scene_ref,
     init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
             jnp.full((QUERY_BLOCK,), -1, jnp.int32),
             jnp.zeros((QUERY_BLOCK,), jnp.float32))
-    best_d2, best_idx, best_dot = jax.lax.fori_loop(0, n_tiles, tile_step,
+    best_d2, best_idx, best_dot = jax.lax.fori_loop(lo, hi, tile_step,
                                                     init)
     found = best_d2 < jnp.inf
     idx_ref[0, :] = jnp.where(found, best_idx, -1)
@@ -242,6 +258,14 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
     rad2 = jnp.asarray([radius * radius], jnp.float32)
     cgate = jnp.asarray([cos_gate], jnp.float32)
 
+    # transposed, lane-padded copy of the tile bounds for the kernel's
+    # vectorized near-mask (padding: min=+1e6 / max=-1e6 -> never near)
+    ntp = ((slab.n_tiles + 127) // 128) * 128
+    bounds_v = jnp.concatenate([
+        jnp.full((4, ntp), 1e6, jnp.float32),
+        jnp.full((4, ntp), -1e6, jnp.float32)], axis=0)
+    bounds_v = bounds_v.at[:, :slab.n_tiles].set(slab.tile_bounds.T)
+
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
                                n_tiles=slab.n_tiles)
     idx, d2, dot = pl.pallas_call(
@@ -254,6 +278,7 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
             pl.BlockSpec((8, QUERY_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                 # queries
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # tile bounds
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # bounds_v
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # scene slab
         ],
         out_specs=[
@@ -269,7 +294,7 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
         ],
-    )(rad2, cgate, qslab, slab.tile_bounds, slab.slab)
+    )(rad2, cgate, qslab, slab.tile_bounds, bounds_v, slab.slab)
 
     idx = idx[0, :m]
     d2 = d2[0, :m]
