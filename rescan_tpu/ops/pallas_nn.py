@@ -4,16 +4,20 @@ compute kernel of the framework.
 Why Pallas: the XLA formulation of the dense search (ops/dense_nn.py)
 materializes (queries x tile) distance matrices in HBM, so a coarse
 grid-search pass moves ~100 GB of intermediates. Here the ENTIRE scene
-level (positions, normals, |p|^2 packed as an (8, N) f32 slab — ~10 MB for
-a 300k-point level-1 scene) sits in VMEM next to the MXU, each grid step
-processes one 128-query block, and the scene-tile loop runs entirely
-on-chip with a running gated-min — zero HBM traffic for intermediates.
+level (positions, normals packed as an (8, N) f32 slab — ~10 MB for a
+300k-point level-1 scene) sits in VMEM, each grid step processes one
+query block, and the scene-tile loop runs entirely on-chip with a running
+gated-min — zero HBM traffic for intermediates. Distances and normal dots
+are VPU elementwise ops: a K=3 dot_general uses 3/128 of the MXU's
+systolic depth and measured ~2x slower than plain f32 vector arithmetic.
 
-Pruning: points are sorted by spatial cell (build_sorted_slab), so scene
-tiles are spatially coherent; each query block compares its bounding box
-against per-tile bounds held in SMEM and skips far tiles with
-@pl.when — a real branch on TPU, saving both MXU and VPU work. Query
-blocks are object points under one pose hypothesis, hence also local.
+Pruning: points are Morton-sorted (build_sorted_slab), so scene tiles are
+spatially coherent. A vectorized bbox test over ALL tile bounds picks the
+dynamic [lo, hi) loop range per query block (object-pose blocks touch
+~1-2% of tiles); inside the range a per-tile SMEM bbox test skips the
+body with lax.cond (~0.4 us per skipped tile on v5e, ~12 us computed).
+Query blocks are contiguous runs of one pose's object points, hence
+spatially tight.
 
 Semantics identical to dense_nn.nearest_gated_dense: strict d2 < r2,
 gate max(dot,0) (or |dot|) >= cos - 1e-6, nearest qualifying neighbor,
@@ -23,6 +27,7 @@ original-order indices (via the sort permutation, applied by the caller).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -31,8 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QUERY_BLOCK = 256
-SCENE_TILE = 2048
+# Kernel geometry, overridable for tuning sweeps. Defaults tuned on v5e:
+# larger query blocks amortize the per-tile loop iteration cost (~4-8 us
+# even when the bbox test skips the tile body) across more queries — a
+# block is a contiguous run of one pose's object points, so growing it
+# barely widens the block bbox or the near-tile set.
+QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 256))
+SCENE_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 2048))
 
 
 def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
@@ -58,11 +68,9 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
     bzmin, bzmax = jnp.min(qz), jnp.max(qz)
     rad = jnp.sqrt(r2)
 
-    # vectorized near-mask over ALL tiles -> dynamic loop range [lo, hi).
-    # The per-tile loop iteration costs ~4 us on v5e even when the bbox
-    # test skips the body, so shrinking the trip count to the first..last
-    # near tile (typically ~10% of the Morton range for an object-sized
-    # query block) is worth far more than any in-loop pruning.
+    # vectorized near-mask over ALL tiles -> dynamic loop range [lo, hi):
+    # the loop visits only first..last near tile (typically ~10% of the
+    # Morton range for an object-sized query block).
     tbv = bounds_v_ref[:]               # (8, NT_pad)
     ntp = tbv.shape[1]
     near_all = ((tbv[0:1, :] <= bxmax + rad) & (tbv[4:5, :] >= bxmin - rad) &
@@ -88,20 +96,21 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
 
         def compute():
             s = scene_ref[:, pl.ds(t * SCENE_TILE, SCENE_TILE)]   # (8, T)
-            cross = jax.lax.dot_general(
-                q[0:3, :], s[0:3, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)              # (BQ, T)
-            d2 = q2[:, None] + s[3, :][None, :] - 2.0 * cross
-            # HIGHEST: bf16 normal dots flip borderline 35-degree gate
-            # decisions (~0.005 absolute error on the cosine)
-            ndot = jax.lax.dot_general(
-                q[4:7, :], s[4:7, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            # VPU elementwise distances/dots: a K=3 contraction uses 3/128
+            # of the MXU's systolic depth, so dot_general (even at HIGHEST
+            # precision) measured ~2x SLOWER than plain f32 vector ops —
+            # and (q - p)^2 is exactly the reference's distance expression
+            # (no |q|^2 + |p|^2 - 2qp cancellation).
+            dx = q[0, :][:, None] - s[0, :][None, :]              # (BQ, T)
+            dy = q[1, :][:, None] - s[1, :][None, :]
+            dz = q[2, :][:, None] - s[2, :][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            ndot = (q[4, :][:, None] * s[4, :][None, :]
+                    + q[5, :][:, None] * s[5, :][None, :]
+                    + q[6, :][:, None] * s[6, :][None, :])
             gate = jnp.abs(ndot) if use_abs_dot else jnp.maximum(ndot, 0.0)
             ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
-            d2m = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf)
+            d2m = jnp.where(ok, d2, jnp.inf)
             tb = jnp.argmin(d2m, axis=1)                          # (BQ,)
             cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
             sel = cols == tb[:, None]
@@ -184,10 +193,10 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     # never pruned by ANY query block. Greedily cut a new (padded) tile
     # whenever the running bbox side would exceed max_side; padding slots
     # point far away and contribute +inf distances.
-    # NOTE: measured on v5e, the production kernel's per-tile iteration
-    # cost (~4us even when skipped) outweighs tighter pruning, so the
-    # default is effectively unlimited; the experimental host-list kernel
-    # benefits from ~0.9 m tiles.
+    # NOTE: measured on v5e with the production kernel, segmentation
+    # tighter than the default does not pay (more tiles -> longer dynamic
+    # loop ranges for the same computed-tile count); the experimental
+    # host-list kernel benefits from ~0.9 m tiles.
     max_side = 6.0
     segments = []
     start = 0

@@ -83,8 +83,11 @@ def score_hypotheses(grid, obj_pts: jax.Array,
 # Launch sizing: each launch is ONE fixed-shape query chunk (the tunnel's
 # remote-compile worker is destabilized by device-side chunk loops), so
 # hypothesis slices satisfy H_slice * P_pad <= MAX_QUERIES_PER_LAUNCH and
-# JAX async dispatch pipelines the slice stream.
-MAX_QUERIES_PER_LAUNCH = 32768
+# JAX async dispatch pipelines the slice stream. Sized large (1M queries,
+# ~4096 Pallas grid steps) because under the axon tunnel EVERY launch pays
+# a ~50 ms host round trip regardless of device time — measured 57 ms/launch
+# at 32768 queries vs <1 ms of kernel time.
+MAX_QUERIES_PER_LAUNCH = 1 << 20
 
 
 def score_hypotheses_slab(slab, obj_pts: np.ndarray, obj_nrm: np.ndarray,

@@ -50,15 +50,49 @@ class SceneOccupancy:
     pass the `score > threshold` test nor become a surviving per-cell best.
     """
 
+    N_NORMAL_BINS = 64
+
     def __init__(self, scene_pts: np.ndarray, radius: float,
-                 voxel: float = 0.05):
+                 voxel: float = 0.05, scene_nrm: np.ndarray | None = None,
+                 gate_deg: float = config.SCORE_MAX_ANGLE_DEG):
         self.voxel = voxel
         self.origin = scene_pts.min(axis=0).astype(np.float32) - 4 * voxel
         res = (np.ceil((scene_pts.max(axis=0) - self.origin) / voxel)
                .astype(np.int64) + 8)
-        occ = np.zeros(tuple(res), bool)
         c = np.floor((scene_pts - self.origin) / voxel).astype(np.int64)
+        occ = np.zeros(tuple(res), bool)
         occ[c[:, 0], c[:, 1], c[:, 2]] = True
+        # normal-aware masks: each occupied cell records which normal-
+        # direction bins its scene points fall in; a transformed object
+        # point can only score if its rotated normal is gate-compatible
+        # with SOME bin present near its cell. This kills poses floating
+        # in empty space whose only nearby surface is the floor (bottom
+        # and side normals of furniture can never pass the 35-degree
+        # max(dot, 0) gate against up-facing floor normals).
+        self.bin_dirs = self._fibonacci_dirs(self.N_NORMAL_BINS)
+        masks = None
+        if scene_nrm is not None:
+            bins = np.argmax(scene_nrm @ self.bin_dirs.T, axis=1)
+            masks = np.zeros(tuple(res), np.uint64)
+            np.bitwise_or.at(masks, (c[:, 0], c[:, 1], c[:, 2]),
+                             np.uint64(1) << bins.astype(np.uint64))
+            # compat table: bin b of a query normal is compatible with
+            # scene bin s iff the gate could pass for SOME pair of vectors
+            # in the two bins: angle(center_b, center_s) <= gate +
+            # cover_b + cover_s, using per-bin exact cover angles (the
+            # global worst-case cover doubles the slack and lets side
+            # normals stay "compatible" with the floor)
+            covers = self._cover_angles(self.bin_dirs)
+            ang = np.arccos(np.clip(self.bin_dirs @ self.bin_dirs.T,
+                                    -1.0, 1.0))
+            cc2 = ang <= (np.deg2rad(gate_deg)
+                          + covers[:, None] + covers[None, :])
+            self.compat = np.zeros(self.N_NORMAL_BINS, np.uint64)
+            for b in range(self.N_NORMAL_BINS):
+                self.compat[b] = np.uint64(
+                    np.bitwise_or.reduce((np.uint64(1)
+                                          << np.where(cc2[b])[0]
+                                          .astype(np.uint64))))
         # conservative box dilation: covers radius + cell diagonal
         n_dil = int(np.ceil(radius / voxel)) + 1
         for _ in range(n_dil):
@@ -70,25 +104,78 @@ class SceneOccupancy:
             d[:, :, 1:] |= occ[:, :, :-1]
             d[:, :, :-1] |= occ[:, :, 1:]
             occ = d
+            if masks is not None:
+                m = masks.copy()
+                m[1:] |= masks[:-1]
+                m[:-1] |= masks[1:]
+                m[:, 1:] |= masks[:, :-1]
+                m[:, :-1] |= masks[:, 1:]
+                m[:, :, 1:] |= masks[:, :, :-1]
+                m[:, :, :-1] |= masks[:, :, 1:]
+                masks = m
         self.occ = occ
+        self.masks = masks
         self.res = np.asarray(occ.shape)
 
-    def score_upper_bound(self, obj_pts: np.ndarray,
-                          hyps: np.ndarray) -> np.ndarray:
-        """(H,) fraction of object points inside occupied cells per pose."""
+    @staticmethod
+    def _fibonacci_dirs(n: int) -> np.ndarray:
+        i = np.arange(n, dtype=np.float64) + 0.5
+        phi = np.arccos(1.0 - 2.0 * i / n)
+        theta = np.pi * (1.0 + np.sqrt(5.0)) * i
+        return np.stack([np.cos(theta) * np.sin(phi),
+                         np.sin(theta) * np.sin(phi),
+                         np.cos(phi)], axis=1).astype(np.float32)
+
+    @staticmethod
+    def _cover_angles(dirs: np.ndarray, n_samples: int = 16384
+                      ) -> np.ndarray:
+        """Per-bin max angle from any unit vector assigned to the bin
+        (by argmax of dot) to the bin's center."""
+        s = SceneOccupancy._fibonacci_dirs(n_samples)
+        dots = s @ dirs.T
+        assign = np.argmax(dots, axis=1)
+        worst = np.ones(len(dirs))
+        np.minimum.at(worst, assign, dots[np.arange(len(s)), assign])
+        return np.arccos(np.clip(worst, -1.0, 1.0))
+
+    def score_upper_bound(self, obj_pts: np.ndarray, hyps: np.ndarray,
+                          obj_nrm: np.ndarray | None = None) -> np.ndarray:
+        """(H,) upper bound on the alignment score per pose: fraction of
+        object points whose cell is near scene geometry (and, when normals
+        are available, whose rotated normal is gate-compatible with the
+        normals present around that cell)."""
         H = len(hyps)
         out = np.empty(H, np.float32)
         R = hyps[:, :3, :3]
         t = hyps[:, :3, 3]
-        block = max(1, 2_000_000 // max(len(obj_pts), 1))
-        for lo in range(0, H, block):
-            hi = min(lo + block, H)
-            q = np.einsum("hij,pj->hpi", R[lo:hi], obj_pts) + t[lo:hi, None, :]
-            c = np.floor((q - self.origin) / self.voxel).astype(np.int64)
-            inb = ((c >= 0) & (c < self.res[None, None, :])).all(axis=2)
-            cc = np.clip(c, 0, self.res[None, None, :] - 1)
-            near = self.occ[cc[..., 0], cc[..., 1], cc[..., 2]] & inb
-            out[lo:hi] = near.mean(axis=1)
+        use_nrm = obj_nrm is not None and self.masks is not None
+
+        # hypotheses come from a lattice with few unique rotations: group
+        # by rotation so points/normals are rotated once per angle
+        key = np.round(R.reshape(H, 9), 5)
+        _, grp_idx, grp_inv = np.unique(key, axis=0, return_index=True,
+                                        return_inverse=True)
+        block = max(1, 4_000_000 // max(len(obj_pts), 1))
+        for g, hrep in enumerate(grp_idx):
+            sel = np.where(grp_inv == g)[0]
+            rp = (obj_pts @ R[hrep].T - self.origin) / self.voxel  # (P, 3)
+            if use_nrm:
+                rn = obj_nrm @ R[hrep].T
+                qbin = np.argmax(rn @ self.bin_dirs.T, axis=1)
+                req = self.compat[qbin]                            # (P,) u32
+            for lo in range(0, len(sel), block):
+                hh = sel[lo:lo + block]
+                tv = t[hh] / self.voxel                            # (B, 3)
+                c = np.floor(rp[None, :, :] + tv[:, None, :]).astype(np.int64)
+                inb = ((c >= 0) & (c < self.res[None, None, :])).all(axis=2)
+                cc = np.clip(c, 0, self.res[None, None, :] - 1)
+                if use_nrm:
+                    near = ((self.masks[cc[..., 0], cc[..., 1], cc[..., 2]]
+                             & req[None, :]) != 0) & inb
+                else:
+                    near = (self.occ[cc[..., 0], cc[..., 1], cc[..., 2]]
+                            & inb)
+                out[hh] = near.mean(axis=1)
         return out
 
 
@@ -115,7 +202,8 @@ def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
     # (pose_proposal.cpp:213-243)
     t0 = time.perf_counter()
     if occupancy is not None:
-        ub = occupancy.score_upper_bound(obj.pos(lvl), hyps)
+        ub = occupancy.score_upper_bound(obj.pos(lvl), hyps,
+                                         obj_nrm=obj.nrm(lvl))
         alive = ub >= config.SCORE_THRESHOLDS[lvl]
         s4 = np.zeros(len(hyps), np.float32)
         if alive.any():
@@ -235,7 +323,8 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                                     normals=scn_cloud.nrm(slvl))
     bbox = scn_cloud.bbox
     occupancy = SceneOccupancy(scn_cloud.pos(slvl),
-                               config.SCORE_SEARCH_RADII[slvl])
+                               config.SCORE_SEARCH_RADII[slvl],
+                               scene_nrm=scn_cloud.nrm(slvl))
 
     # --- multiresolution grid search per dynamic object ---
     proposals: List[Tuple[np.ndarray, np.ndarray]] = []
