@@ -315,6 +315,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     db.proposed_poses.append(None)
     db.proposed_scores.append(None)
 
+    if verbose:
+        print(f"PROFILE: scene ingest {time.perf_counter() - t_start:.2f}s")
+    t_stage = time.perf_counter()
+
     # one scene search grid at level 1 serves every scoring pass
     # (search_lvl = 1 throughout, pose_proposal.cpp:178,:263)
     slvl = config.SCORE_SEARCH_LVL
@@ -325,6 +329,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     occupancy = SceneOccupancy(scn_cloud.pos(slvl),
                                config.SCORE_SEARCH_RADII[slvl],
                                scene_nrm=scn_cloud.nrm(slvl))
+
+    if verbose:
+        print(f"PROFILE: search grid + occupancy {time.perf_counter() - t_stage:.2f}s")
+    t_stage = time.perf_counter()
 
     # --- multiresolution grid search per dynamic object ---
     proposals: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -341,7 +349,13 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                                                   bbox, verbose,
                                                   occupancy=occupancy))
 
+    if verbose:
+        print(f"PROFILE: grid search (all objects) {time.perf_counter() - t_stage:.2f}s")
+    t_stage = time.perf_counter()
     proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+    if verbose:
+        print(f"PROFILE: NMS {time.perf_counter() - t_stage:.2f}s")
+    t_stage = time.perf_counter()
 
     # --- copy poses from ALL previous arrangements as proposals, score 10
     # (apps/pose_proposal/main.cpp:163-173) ---
@@ -391,6 +405,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
             config.REFINE_ICP_MAX_DIST,
             np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
         T_ref = np.asarray(T_ref)[:B]
+        if verbose:
+            print(f"PROFILE: ICP refinement {time.perf_counter() - t_stage:.2f}s")
+        t_stage = time.perf_counter()
 
         # rescore refined poses at query level 1 in one launch per object
         qlvl = config.REFINE_SCORE_QUERY_LVL
@@ -408,6 +425,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                 prop_lists[i][k] = Tn
                 score_lists[i][k] = float(sc)
 
+    if verbose:
+        print(f"PROFILE: refine rescore {time.perf_counter() - t_stage:.2f}s")
+    t_stage = time.perf_counter()
     proposals = [(np.stack(p) if p else np.zeros((0, 4, 4), np.float32),
                   np.asarray(s, np.float32)) for p, s in
                  zip(prop_lists, score_lists)]
