@@ -42,11 +42,16 @@ def grid_shape(bmin: np.ndarray, bmax: np.ndarray, voxel: float):
 
 
 def rasterize_boundary(points_lvl1: np.ndarray, pose: np.ndarray,
-                       origin: np.ndarray, res: np.ndarray, voxel: float
-                       ) -> np.ndarray:
+                       origin: np.ndarray, res: np.ndarray, voxel: float,
+                       pre_transformed: bool = False) -> np.ndarray:
     """Mark BOUNDARY cells; returns uint8 grid indexed [y, z, x]
-    (reference layout: data[(y*x_res*z_res) + z*x_res + x], intersect.h:93)."""
-    p = points_lvl1 @ pose[:3, :3].T + pose[:3, 3]
+    (reference layout: data[(y*x_res*z_res) + z*x_res + x], intersect.h:93).
+    With ``pre_transformed`` the points are already in world space and
+    ``pose`` is ignored."""
+    if pre_transformed:
+        p = points_lvl1
+    else:
+        p = points_lvl1 @ pose[:3, :3].T + pose[:3, 3]
     c = np.floor((p - origin) / np.float32(voxel)).astype(np.int64)
     c = np.clip(c, 0, res[None, :] - 1)  # reference asserts in-range
     grid = np.zeros((res[1], res[2], res[0]), dtype=np.uint8)
@@ -54,8 +59,9 @@ def rasterize_boundary(points_lvl1: np.ndarray, pose: np.ndarray,
     return grid
 
 
-def _directional_fill(sl: np.ndarray, axis: int) -> np.ndarray:
-    """Even-odd scanline fill of one y-slice (z, x) along ``axis``.
+def _directional_fill(g: np.ndarray, axis: int) -> np.ndarray:
+    """Even-odd scanline fill of all y-slices [y, z, x] along ``axis``
+    (1 = z scan, 2 = x scan), vectorized over the whole grid.
 
     Fill counter increments at BOUNDARY -> FREE transitions; a cell is
     filled when the counter is odd, scanning both forward and backward;
@@ -63,55 +69,66 @@ def _directional_fill(sl: np.ndarray, axis: int) -> np.ndarray:
     (isect__compute_occupancy_within_slice, intersect.h:125-174)."""
     def fill(arr):
         prev = np.zeros_like(arr)
-        if axis == 1:
-            prev[:, 1:] = arr[:, :-1]
+        if axis == 2:
+            prev[:, :, 1:] = arr[:, :, :-1]
         else:
-            prev[1:, :] = arr[:-1, :]
+            prev[:, 1:, :] = arr[:, :-1, :]
         trans = (arr == FREE) & (prev == BOUNDARY)
         cnt = np.cumsum(trans, axis=axis)
         return (cnt % 2) == 1
 
-    fwd = fill(sl)
-    bwd = np.flip(fill(np.flip(sl, axis=axis)), axis=axis)
-    out = sl.copy()
-    inside = (sl != BOUNDARY) & fwd & bwd
+    fwd = fill(g)
+    bwd = np.flip(fill(np.flip(g, axis=axis)), axis=axis)
+    out = g.copy()
+    inside = (g != BOUNDARY) & fwd & bwd
     out[inside] = INSIDE
     return out
 
 
 def fill_occupancy(grid: np.ndarray) -> np.ndarray:
     """Interior fill of a boundary grid [y, z, x]: combine x-direction and
-    z-direction slice fills (intersect.h:243-262)."""
-    out = np.empty_like(grid)
-    for y in range(grid.shape[0]):
-        sl = grid[y]
-        fx = _directional_fill(sl, axis=1)   # scan along x
-        fz = _directional_fill(sl, axis=0)   # scan along z
-        comb = np.full_like(sl, FREE)
-        comb[(fx == BOUNDARY) | (fz == BOUNDARY)] = BOUNDARY
-        comb[(fx == INSIDE) & (fz == INSIDE)] = INSIDE
-        out[y] = comb
+    z-direction scanline fills (intersect.h:243-262)."""
+    fx = _directional_fill(grid, axis=2)   # scan along x
+    fz = _directional_fill(grid, axis=1)   # scan along z
+    out = np.full_like(grid, FREE)
+    out[(fx == BOUNDARY) | (fz == BOUNDARY)] = BOUNDARY
+    out[(fx == INSIDE) & (fz == INSIDE)] = INSIDE
     return out
+
+
+def posed_points(pc, pose: np.ndarray):
+    """Precompute (world lvl1 points, world bbox) for repeated
+    overlap_factor calls against the same (cloud, pose)."""
+    w = pc.pos(config.ISECT_RASTER_LVL) @ pose[:3, :3].T + pose[:3, 3]
+    bb = transformed_bbox(pc.pos(config.ISECT_BBOX_LVL), pose)
+    return w, bb
 
 
 def overlap_factor(pc_a, pose_a: np.ndarray, pc_b, pose_b: np.ndarray,
                    voxel: float = config.NMS_OVERLAP_VOXEL,
                    voxelize_inside: bool = True,
-                   normalize_by_smaller: bool = False) -> float:
+                   normalize_by_smaller: bool = False,
+                   cached_a=None, cached_b=None) -> float:
     """Voxel overlap of two posed clouds (isect_get_overlap_factor,
-    intersect.h:309-368). ``pc_*`` are PointCloud objects."""
-    amin, amax = transformed_bbox(pc_a.pos(config.ISECT_BBOX_LVL), pose_a)
-    bmin, bmax = transformed_bbox(pc_b.pos(config.ISECT_BBOX_LVL), pose_b)
+    intersect.h:309-368). ``pc_*`` are PointCloud objects. ``cached_*``
+    optionally carry ``posed_points(pc, pose)`` results so repeated
+    comparisons against the same posed cloud skip the transform."""
+    if cached_a is None:
+        cached_a = posed_points(pc_a, pose_a)
+    if cached_b is None:
+        cached_b = posed_points(pc_b, pose_b)
+    (amin, amax) = cached_a[1]
+    (bmin, bmax) = cached_b[1]
     if (amin > bmax).any() or (bmin > amax).any():
         return 0.0
     cmin = np.minimum(amin, bmin)
     cmax = np.maximum(amax, bmax)
     origin, res = grid_shape(cmin, cmax, voxel)
 
-    ga = rasterize_boundary(pc_a.pos(config.ISECT_RASTER_LVL), pose_a,
-                            origin, res, voxel)
-    gb = rasterize_boundary(pc_b.pos(config.ISECT_RASTER_LVL), pose_b,
-                            origin, res, voxel)
+    ga = rasterize_boundary(cached_a[0], pose_a, origin, res, voxel,
+                            pre_transformed=True)
+    gb = rasterize_boundary(cached_b[0], pose_b, origin, res, voxel,
+                            pre_transformed=True)
     if voxelize_inside:
         ga = fill_occupancy(ga)
         gb = fill_occupancy(gb)

@@ -267,20 +267,29 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
         ch = np.concatenate([c, [1.0]]).astype(np.float32)
         marks = np.zeros(n, dtype=np.int8)  # 0 unmarked, 1 keep, 2 discard
         centers = poses @ ch  # (n, 4)
+        posed_cache = {}  # pose idx -> posed_points (transform each once)
         while (marks == 0).any():
             unm = np.where(marks == 0)[0]
             mx = unm[np.argmax(scores[unm])]
             marks[mx] = 1
+            cached_mx = posed_cache.setdefault(
+                mx, voxel.posed_points(shape, poses[mx]))
             for j in unm:
                 if j == mx or marks[j] != 0:
                     continue
                 dist = np.linalg.norm(centers[mx, :3] - centers[j, :3])
                 if scores[j] < config.NMS_MIN_SCORE or dist < dist_threshold:
                     marks[j] = 2
+                    posed_cache.pop(j, None)
                     continue
-                ov = voxel.overlap_factor(shape, poses[mx], shape, poses[j])
+                cached_j = posed_cache.setdefault(
+                    j, voxel.posed_points(shape, poses[j]))
+                ov = voxel.overlap_factor(shape, poses[mx], shape, poses[j],
+                                          cached_a=cached_mx,
+                                          cached_b=cached_j)
                 if ov > config.NMS_OVERLAP_THRESHOLD:
                     marks[j] = 2
+                    posed_cache.pop(j, None)
         keep = marks == 1
         if verbose:
             print(f"POSE_PROPOSAL: Non-max suppress. --> Keep: {int(keep.sum()):5d}"
