@@ -78,12 +78,19 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
     B, N, _ = obj_pts.shape
     cos_gate = jnp.cos(max_angle)
 
-    def find_corrs(T, dist):
+    def find_corrs(T, dist, active):
         # transform sources into scene frame
         R = T[:, :3, :3]
         t = T[:, :3, 3]
         q = jnp.einsum("bij,bnj->bni", R, obj_pts) + t[:, None, :]
         qn = jnp.einsum("bij,bnj->bni", R, obj_nrm)
+        # device-side compaction: converged/empty pairs move their queries
+        # FAR away, so their kernel blocks have an empty near-tile range
+        # and cost ~nothing — the while_loop runs until the slowest pair
+        # converges, but each iteration only pays for the active set.
+        # (Pairs are whole multiples of the kernel's QUERY_BLOCK, so far
+        # sentinels never share a block with live queries.)
+        q = jnp.where(active[:, None, None], q, 2e6)
         idx, d2, dot = search.nearest_gated(
             grid, q.reshape(B * N, 3), qn.reshape(B * N, 3), dist, cos_gate,
             chunk=chunk)
@@ -98,7 +105,7 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
 
     def body(state):
         T, err, dist, active, it = state
-        q, qn, idx, d2, dot, ok = find_corrs(T, dist)
+        q, qn, idx, d2, dot, ok = find_corrs(T, dist, active)
         idx_safe = jnp.maximum(idx, 0)
         p2 = scene_pts[idx_safe]
         n2 = scene_nrm[idx_safe]
@@ -165,22 +172,43 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
     init = (T_init.astype(jnp.float32),
             jnp.full((B,), 1e6, jnp.float32),
             jnp.asarray(max_dist, jnp.float32),
-            jnp.ones((B,), bool),
+            jnp.any(obj_mask, axis=1),   # all-padding rows start inactive
             jnp.asarray(0, jnp.int32))
     T, err, _, _, _ = jax.lax.while_loop(cond, body, init)
     return T, err
 
 
-def pad_batch(list_of_pts, list_of_nrm):
-    """Pad a ragged list of (n_i, 3) arrays to (B, N_max, 3) + mask."""
+def pad_batch(list_of_pts, list_of_nrm, sort: bool = True):
+    """Pad a ragged list of (n_i, 3) arrays to (B, N_pad, 3) + mask.
+
+    N_pad is the power of two covering the largest pair (>= one
+    QUERY_BLOCK). Each pair's points are Morton-sorted (tight kernel query
+    blocks), padded replicate-last up to the next QUERY_BLOCK boundary
+    (tight bbox for the one mixed block), then FAR beyond — whole far
+    blocks skip the NN kernel's tile loop, so small pairs don't pay for
+    the largest pair's point count.
+    """
     import numpy as np
+    from . import pallas_nn
+
+    bq = pallas_nn.QUERY_BLOCK
     B = len(list_of_pts)
     n_max = max((len(p) for p in list_of_pts), default=1)
-    pts = np.zeros((B, n_max, 3), np.float32)
-    nrm = np.zeros((B, n_max, 3), np.float32)
-    mask = np.zeros((B, n_max), bool)
+    n_pad = max(1 << int(np.ceil(np.log2(max(n_max, 1)))), bq)
+    pts = np.full((B, n_pad, 3), pallas_nn.FAR, np.float32)
+    nrm = np.zeros((B, n_pad, 3), np.float32)
+    mask = np.zeros((B, n_pad), bool)
     for i, (p, n) in enumerate(zip(list_of_pts, list_of_nrm)):
-        pts[i, :len(p)] = p
-        nrm[i, :len(p)] = n
-        mask[i, :len(p)] = True
+        k = len(p)
+        if sort and k:
+            order = pallas_nn.morton_order(p)
+            p = np.asarray(p, np.float32)[order]
+            n = np.asarray(n, np.float32)[order]
+        pts[i, :k] = p
+        nrm[i, :k] = n
+        mask[i, :k] = True
+        edge = min(((k + bq - 1) // bq) * bq, n_pad)
+        if k and edge > k:
+            pts[i, k:edge] = p[k - 1]
+            nrm[i, k:edge] = n[k - 1]
     return pts, nrm, mask

@@ -16,8 +16,16 @@ spatially coherent. A vectorized bbox test over ALL tile bounds picks the
 dynamic [lo, hi) loop range per query block (object-pose blocks touch
 ~1-2% of tiles); inside the range a per-tile SMEM bbox test skips the
 body with lax.cond (~0.4 us per skipped tile on v5e, ~12 us computed).
-Query blocks are contiguous runs of one pose's object points, hence
-spatially tight.
+Query blocks are contiguous runs of one pose's object points; callers
+Morton-sort the object points (morton_sort) so blocks are spatially
+TIGHT, which shrinks each block's near-tile range.
+
+Padding discipline (relied on by ops/score.py and ops/icp.py): queries
+padded FAR away (>= 1e6) form blocks whose near-tile range is empty, so
+whole-block padding costs only the block prologue (~18 us) instead of a
+full tile loop — callers pad point counts with far sentinels aligned to
+QUERY_BLOCK boundaries and never mix far sentinels into blocks that hold
+real queries (a mixed block's bbox would cover the entire scene).
 
 Semantics identical to dense_nn.nearest_gated_dense: strict d2 < r2,
 gate max(dot,0) (or |dot|) >= cos - 1e-6, nearest qualifying neighbor,
@@ -44,9 +52,34 @@ from jax.experimental.pallas import tpu as pltpu
 QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 256))
 SCENE_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 2048))
 
+# Far-sentinel coordinate for padding queries/points: far enough that no
+# scene tile is ever "near", small enough that f32 squared norms stay
+# finite.
+FAR = 1e6
+
+
+def morton_key(points: np.ndarray, cell: float) -> np.ndarray:
+    """(N,) int64 Morton codes of points binned at ``cell``."""
+    p = np.asarray(points, np.float32)
+    n = len(p)
+    c = np.floor(p / cell).astype(np.int64)
+    if n:
+        c -= c.min(axis=0)
+    key = np.zeros(n, np.int64)
+    for bit in range(16):
+        for ax in range(3):
+            key |= ((c[:, ax] >> bit) & 1) << (3 * bit + ax)
+    return key
+
+
+def morton_order(points: np.ndarray, cell: float = 0.2) -> np.ndarray:
+    """Permutation sorting points along a Morton curve. Used to make
+    QUERY_BLOCK-sized runs of object points spatially compact."""
+    return np.argsort(morton_key(points, cell), kind="stable")
+
 
 def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
-               scene_ref, idx_ref, d2_ref, dot_ref, *, use_abs_dot: bool,
+               scene_ref, *out_refs, use_abs_dot: bool, want_idx: bool,
                n_tiles: int):
     """One query block vs all scene tiles.
 
@@ -55,13 +88,14 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
     tile_bounds_ref: (n_tiles, 8) in SMEM: xmin ymin zmin _ xmax ymax zmax _
     bounds_v_ref: (8, NT_pad) in VMEM: same bounds transposed, padded with
         min=+1e6 / max=-1e6 so padding tiles are never near
-    outputs: (1, QUERY_BLOCK) best idx / d2 / dot for this block
+    outputs: (1, QUERY_BLOCK) best [idx] / d2 / dot for this block; the
+        idx output (and its int32 carry) exists only when want_idx — the
+        scoring path needs only (d2, dot) and skips the index epilogue.
     """
     r2 = rad_ref[0]
     cos_gate = gate_ref[0]
     q = q_ref[:]                        # (8, BQ)
     qx, qy, qz = q[0, :], q[1, :], q[2, :]
-    q2 = q[3, :]
     # query-block bounds for tile pruning
     bxmin, bxmax = jnp.min(qx), jnp.max(qx)
     bymin, bymax = jnp.min(qy), jnp.max(qy)
@@ -81,8 +115,6 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
     hi = jnp.max(jnp.where(near_all, ii, -1)) + 1
 
     def tile_step(t, carry):
-        best_d2, best_idx, best_dot = carry
-
         # prune: does this tile's bbox come within radius of the block's?
         txmin = tile_bounds_ref[t, 0]
         tymin = tile_bounds_ref[t, 1]
@@ -116,55 +148,59 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
             sel = cols == tb[:, None]
             td2 = jnp.min(d2m, axis=1)
             tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
-            tidx = t * SCENE_TILE + tb
+            if want_idx:
+                best_d2, best_idx, best_dot = carry
+                tidx = t * SCENE_TILE + tb
+                better = td2 < best_d2
+                return (jnp.where(better, td2, best_d2),
+                        jnp.where(better, tidx, best_idx),
+                        jnp.where(better, tdot, best_dot))
+            best_d2, best_dot = carry
             better = td2 < best_d2
             return (jnp.where(better, td2, best_d2),
-                    jnp.where(better, tidx, best_idx),
                     jnp.where(better, tdot, best_dot))
 
         return jax.lax.cond(near, compute, lambda: carry)
 
-    init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
-            jnp.full((QUERY_BLOCK,), -1, jnp.int32),
-            jnp.zeros((QUERY_BLOCK,), jnp.float32))
-    best_d2, best_idx, best_dot = jax.lax.fori_loop(lo, hi, tile_step,
-                                                    init)
-    found = best_d2 < jnp.inf
-    idx_ref[0, :] = jnp.where(found, best_idx, -1)
-    d2_ref[0, :] = best_d2
-    dot_ref[0, :] = best_dot
+    if want_idx:
+        init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
+                jnp.full((QUERY_BLOCK,), -1, jnp.int32),
+                jnp.zeros((QUERY_BLOCK,), jnp.float32))
+        best_d2, best_idx, best_dot = jax.lax.fori_loop(lo, hi, tile_step,
+                                                        init)
+        found = best_d2 < jnp.inf
+        out_refs[0][0, :] = jnp.where(found, best_idx, -1)
+        out_refs[1][0, :] = best_d2
+        out_refs[2][0, :] = best_dot
+    else:
+        init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
+                jnp.zeros((QUERY_BLOCK,), jnp.float32))
+        best_d2, best_dot = jax.lax.fori_loop(lo, hi, tile_step, init)
+        out_refs[0][0, :] = best_d2
+        out_refs[1][0, :] = best_dot
 
 
 @jax.tree_util.register_pytree_node_class
 class SortedSlab:
     """Scene packed for the Pallas kernels: cell-sorted (8, N_pad) slab,
-    per-tile bounds, and the sort permutation to original indices.
-
-    ``host_bounds`` is a host-side (n_tiles, 6) numpy copy of the tile
-    bounds (min xyz, max xyz) used to precompute per-query-block near-tile
-    lists for the scalar-prefetch kernel; the LAST tile is always an empty
-    sentinel (all padding) that list slots can point at harmlessly.
-    """
+    per-tile bounds, and the sort permutation to original indices."""
 
     def __init__(self, slab, tile_bounds, perm, n_valid, center,
-                 n_tiles: int, host_bounds=None):
+                 n_tiles: int):
         self.slab = slab                # (8, N_pad) f32
         self.tile_bounds = tile_bounds  # (n_tiles, 8) f32
         self.perm = perm                # (N_pad,) original index of column
         self.n_valid = n_valid
         self.center = center            # (3,)
         self.n_tiles = n_tiles
-        self.host_bounds = host_bounds  # np (n_tiles, 6) or None
 
     def tree_flatten(self):
-        # host_bounds stays host-only (numpy is unhashable as jit aux);
-        # traced reconstructions don't need it
         return ((self.slab, self.tile_bounds, self.perm, self.n_valid,
                  self.center), (self.n_tiles,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_tiles=aux[0], host_bounds=None)
+        return cls(*children, n_tiles=aux[0])
 
 
 def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
@@ -177,43 +213,25 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     # sort columns along a Morton curve so every tile is compact in ALL
     # three axes (a row-major key would make tiles span the full x extent
     # and defeat the kernel's bbox pruning)
-    c = np.floor(p / cell).astype(np.int64)
-    c -= c.min(axis=0) if n else 0
-    key = np.zeros(n, np.int64)
-    for bit in range(16):
-        for ax in range(3):
-            key |= ((c[:, ax] >> bit) & 1) << (3 * bit + ax)
-    order = np.argsort(key, kind="stable")
+    order = np.argsort(morton_key(p, cell), kind="stable")
     p = p[order]
     nr = nrm[order]
     oidx = order.astype(np.int32)
 
-    # bbox-limited tile segmentation: a raw Morton chunking leaves some
-    # tiles straddling octant jumps with huge bounds, and those tiles are
-    # never pruned by ANY query block. Greedily cut a new (padded) tile
-    # whenever the running bbox side would exceed max_side; padding slots
-    # point far away and contribute +inf distances.
-    # NOTE: measured on v5e with the production kernel, segmentation
-    # tighter than the default does not pay (more tiles -> longer dynamic
-    # loop ranges for the same computed-tile count); the experimental
-    # host-list kernel benefits from ~0.9 m tiles.
+    # bbox-limited tile segmentation, vectorized: a raw Morton chunking
+    # leaves some tiles straddling octant jumps with huge bounds that no
+    # query block ever prunes. Cut tiles at coarse-octant boundaries
+    # (Morton cells of max_side/2) and every SCENE_TILE points within a
+    # run; padding slots point far away and contribute +inf distances.
     max_side = 6.0
     segments = []
-    start = 0
     if n:
-        run_min = p[0].copy()
-        run_max = p[0].copy()
-        for i in range(1, n):
-            nmn = np.minimum(run_min, p[i])
-            nmx = np.maximum(run_max, p[i])
-            if (i - start >= SCENE_TILE) or ((nmx - nmn).max() > max_side):
-                segments.append((start, i))
-                start = i
-                run_min = p[i].copy()
-                run_max = p[i].copy()
-            else:
-                run_min, run_max = nmn, nmx
-        segments.append((start, n))
+        coarse = morton_key(p, max_side / 2.0)
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(coarse[1:] != coarse[:-1]) + 1, [n]])
+        for a, b in zip(run_starts[:-1], run_starts[1:]):
+            for s in range(a, b, SCENE_TILE):
+                segments.append((s, min(s + SCENE_TILE, b)))
     else:
         segments = [(0, 0)]
 
@@ -221,7 +239,7 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     n_tiles = len(segments)
     n_pad = n_tiles * SCENE_TILE
     slab = np.zeros((8, n_pad), np.float32)
-    slab[0:3, :] = 1e6
+    slab[0:3, :] = FAR
     slab[3, :] = 3e12
     perm = np.full(n_pad, -1, np.int32)
     tb = np.zeros((n_tiles, 8), np.float32)
@@ -236,27 +254,19 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
             tb[t, 0:3] = p[a:b].min(0)
             tb[t, 4:7] = p[a:b].max(0)
         else:
-            tb[t, 0:3] = 1e6
-            tb[t, 4:7] = 1e6
-    host_bounds = np.concatenate([tb[:, 0:3], tb[:, 4:7]], axis=1)
+            tb[t, 0:3] = FAR
+            tb[t, 4:7] = FAR
     return SortedSlab(jnp.asarray(slab), jnp.asarray(tb), jnp.asarray(perm),
                       jnp.asarray(n, jnp.int32), jnp.asarray(center),
-                      n_tiles, host_bounds=host_bounds)
+                      n_tiles)
 
 
-@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
-def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
-                         q_nrm: jax.Array, radius, cos_gate,
-                         use_abs_dot: bool = False
-                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Gated 1-NN for M queries (M padded to QUERY_BLOCK internally).
-
-    Returns (idx, d2, dot) with idx in ORIGINAL point order (-1 if none).
-    """
+def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
+                use_abs_dot: bool, want_idx: bool):
     m = q_pos.shape[0]
     mp = ((m + QUERY_BLOCK - 1) // QUERY_BLOCK) * QUERY_BLOCK
     qc = q_pos - slab.center[None, :]
-    qpad = jnp.full((mp, 3), 2e6, qc.dtype).at[:m].set(qc)
+    qpad = jnp.full((mp, 3), 2 * FAR, qc.dtype).at[:m].set(qc)
     qnpad = jnp.zeros((mp, 3), q_nrm.dtype).at[:m].set(q_nrm)
     qslab = jnp.zeros((8, mp), jnp.float32)
     qslab = qslab.at[0:3, :].set(qpad.T)
@@ -271,13 +281,20 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
     # vectorized near-mask (padding: min=+1e6 / max=-1e6 -> never near)
     ntp = ((slab.n_tiles + 127) // 128) * 128
     bounds_v = jnp.concatenate([
-        jnp.full((4, ntp), 1e6, jnp.float32),
-        jnp.full((4, ntp), -1e6, jnp.float32)], axis=0)
+        jnp.full((4, ntp), FAR, jnp.float32),
+        jnp.full((4, ntp), -FAR, jnp.float32)], axis=0)
     bounds_v = bounds_v.at[:, :slab.n_tiles].set(slab.tile_bounds.T)
 
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
-                               n_tiles=slab.n_tiles)
-    idx, d2, dot = pl.pallas_call(
+                               want_idx=want_idx, n_tiles=slab.n_tiles)
+    out_spec = pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_spec] * (3 if want_idx else 2)
+    out_shape = ([jax.ShapeDtypeStruct((1, mp), jnp.int32)] if want_idx
+                 else [])
+    out_shape += [jax.ShapeDtypeStruct((1, mp), jnp.float32),
+                  jax.ShapeDtypeStruct((1, mp), jnp.float32)]
+    outs = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=(n_blocks,),
@@ -290,21 +307,23 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # bounds_v
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # scene slab
         ],
-        out_specs=[
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, mp), jnp.int32),
-            jax.ShapeDtypeStruct((1, mp), jnp.float32),
-            jax.ShapeDtypeStruct((1, mp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(rad2, cgate, qslab, slab.tile_bounds, bounds_v, slab.slab)
+    return outs, m
 
+
+@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
+def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
+                         q_nrm: jax.Array, radius, cos_gate,
+                         use_abs_dot: bool = False
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gated 1-NN for M queries (M padded to QUERY_BLOCK internally).
+
+    Returns (idx, d2, dot) with idx in ORIGINAL point order (-1 if none).
+    """
+    (idx, d2, dot), m = _run_kernel(slab, q_pos, q_nrm, radius, cos_gate,
+                                    use_abs_dot, want_idx=True)
     idx = idx[0, :m]
     d2 = d2[0, :m]
     dot = dot[0, :m]
@@ -314,138 +333,14 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
     return oidx, d2, dot
 
 
-# ---------------------------------------------------------------------------
-# Scalar-prefetch variant: host-computed near-tile lists
-# ---------------------------------------------------------------------------
-
-def _nn_list_kernel(tl_ref, q_ref, scene_ref, idx_ref, d2_ref, dot_ref,
-                    *, use_abs_dot: bool, max_near: int):
-    """Grid = (n_blocks, max_near): each step is ONE (query block, near
-    scene tile) pair; the tile index comes from the scalar-prefetched list
-    so there are no skipped loop iterations at all, and Pallas streams the
-    scene tiles from HBM (no VMEM residency requirement -> scales to 1M+
-    point scenes). Output blocks are revisited across the inner grid dim
-    and act as running-min accumulators.
-
-    The radius^2 / cos-gate scalars travel in the query slab's spare row 7
-    (columns 0 and 1).
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    q = q_ref[:]                               # (8, BQ)
-    r2 = q_ref[7, 0]
-    cos_gate = q_ref[7, 1]
-
-    @pl.when(j == 0)
-    def _():
-        idx_ref[0, :] = jnp.full((QUERY_BLOCK,), -1, jnp.int32)
-        d2_ref[0, :] = jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32)
-        dot_ref[0, :] = jnp.zeros((QUERY_BLOCK,), jnp.float32)
-
-    t = tl_ref[i * max_near + j]
-    s = scene_ref[:]                           # (8, SCENE_TILE), DMA'd tile
-    cross = jax.lax.dot_general(
-        q[0:3, :], s[0:3, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)    # (BQ, T)
-    d2 = q[3, :][:, None] + s[3, :][None, :] - 2.0 * cross
-    ndot = jax.lax.dot_general(
-        q[4:7, :], s[4:7, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    gate = jnp.abs(ndot) if use_abs_dot else jnp.maximum(ndot, 0.0)
-    ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
-    d2m = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf)
-    tb = jnp.argmin(d2m, axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
-    sel = cols == tb[:, None]
-    td2 = jnp.min(d2m, axis=1)
-    tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
-    tidx = t * SCENE_TILE + tb
-
-    best = d2_ref[0, :]
-    better = td2 < best
-    d2_ref[0, :] = jnp.where(better, td2, best)
-    idx_ref[0, :] = jnp.where(better, tidx, idx_ref[0, :])
-    dot_ref[0, :] = jnp.where(better, tdot, dot_ref[0, :])
-
-
-def block_near_tiles(slab: SortedSlab, block_bounds: np.ndarray,
-                     radius: float) -> np.ndarray:
-    """Host: per-query-block near-tile lists, padded with the empty
-    sentinel tile. block_bounds is (n_blocks, 6) (min xyz, max xyz) in the
-    slab's CENTERED coordinates. Returns (n_blocks, max_near) int32."""
-    hb = slab.host_bounds                       # (n_tiles, 6)
-    assert hb is not None, "slab built without host bounds"
-    sentinel = slab.n_tiles - 1
-    tmin, tmax = hb[:, 0:3], hb[:, 3:6]
-    bmin = block_bounds[:, 0:3] - radius
-    bmax = block_bounds[:, 3:6] + radius
-    near = ((tmin[None] <= bmax[:, None]) & (tmax[None] >= bmin[:, None])
-            ).all(axis=2)                       # (n_blocks, n_tiles)
-    near[:, sentinel] = False
-    counts = near.sum(axis=1)
-    max_near = int(counts.max()) if len(counts) else 1
-    max_near = max(1 << int(np.ceil(np.log2(max(max_near, 1)))), 4)
-    out = np.full((len(near), max_near), sentinel, np.int32)
-    for b in range(len(near)):
-        ids = np.where(near[b])[0]
-        out[b, :len(ids)] = ids
-    return out
-
-
-def nearest_gated_hostlist(slab: SortedSlab, q_slab: np.ndarray,
-                           tile_list: np.ndarray, radius: float,
-                           cos_gate: float, use_abs_dot: bool = False):
-    """Gated 1-NN with host-provided near-tile lists.
-
-    q_slab: (8, M) numpy query slab in CENTERED coordinates (rows x y z
-    |q|^2 nx ny nz spare); M must be a multiple of QUERY_BLOCK. Row 7
-    columns 0/1 are overwritten with radius^2 / cos_gate.
-    Returns (idx in ORIGINAL order, exact d2, gated dot).
-    """
-    m = q_slab.shape[1]
-    n_blocks = m // QUERY_BLOCK
-    max_near = tile_list.shape[1]
-    q_slab = np.ascontiguousarray(q_slab, np.float32)
-    # every block reads ITS slice's columns 0/1 of row 7: replicate the
-    # scalars across the whole row (even cols r^2, odd cols cos gate)
-    q_slab[7, 0::2] = radius * radius
-    q_slab[7, 1::2] = cos_gate
-
-    kernel = functools.partial(_nn_list_kernel, use_abs_dot=use_abs_dot,
-                               max_near=max_near)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks, max_near),
-        in_specs=[
-            pl.BlockSpec((8, QUERY_BLOCK), lambda i, j, tl: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, SCENE_TILE),
-                         lambda i, j, tl: (0, tl[i * max_near + j]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QUERY_BLOCK), lambda i, j, tl: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    idx, d2, dot = pl.pallas_call(
-        kernel,
-        interpret=jax.default_backend() == "cpu",
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, m), jnp.int32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-        ],
-    )(jnp.asarray(tile_list.reshape(-1)), jnp.asarray(q_slab), slab.slab)
-
-    idx = idx[0]
-    safe = jnp.maximum(idx, 0)
-    oidx = jnp.where(idx >= 0, slab.perm[safe], -1)
-    return oidx, d2[0], dot[0]
+@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
+def gated_min_pallas(slab: SortedSlab, q_pos: jax.Array, q_nrm: jax.Array,
+                     radius, cos_gate, use_abs_dot: bool = False
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """(d2, dot) of the nearest in-radius gate-passing neighbor, without
+    index tracking — the scoring path's kernel (drops the int32 carry, the
+    index epilogue, and the HBM permutation gather). d2 == +inf where no
+    neighbor qualifies."""
+    (d2, dot), m = _run_kernel(slab, q_pos, q_nrm, radius, cos_gate,
+                               use_abs_dot, want_idx=False)
+    return d2[0, :m], dot[0, :m]

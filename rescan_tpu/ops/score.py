@@ -4,9 +4,11 @@ The reference scores one (object, pose) at a time with OpenMP radius
 searches (mgs_compute_object_alignment_score,
 apps/pose_proposal/pose_proposal.cpp:93-158) inside a triple host loop over
 (grid cell x, grid cell z, angle) (mgs__initial_pose_proposals, :170-254).
-Here ALL hypotheses of an object are scored in one device launch: transform
-(H, P, 3) points, run the fused gated nearest-neighbor search against the
-scene level-1 grid, reduce per-hypothesis.
+Here ALL hypotheses of ALL objects are scored in a stream of fixed-shape
+device launches: transform (H, P, 3) points, run the fused gated
+nearest-neighbor search against the scene level-1 grid (no neighbor-index
+tracking — scoring needs only distance and normal dot), reduce
+per-hypothesis.
 
 Per-point score (pose_proposal.cpp:127-156): for the nearest in-radius scene
 point whose normal passes the 35-degree gate,
@@ -16,6 +18,12 @@ point whose normal passes the 35-degree gate,
 with radius = sigma = 0.1 (search_radii[search_lvl=1], :98-101); unmatched
 points contribute 0; the hypothesis score is the mean over all object
 points at the query level.
+
+Padding discipline (see ops/pallas_nn.py): object points are Morton-sorted
+and padded per-hypothesis to a power of two — replicate-last up to the
+next QUERY_BLOCK boundary (tight block bbox, masked out of the mean), far
+sentinels beyond (whole far blocks skip their tile loops); tail
+hypotheses of a launch slice are translated FAR so their blocks are free.
 
 Known deviation from the reference: the reference caps its radius search at
 the 64 nearest neighbors (:179), so a point whose 64 nearest scene points
@@ -27,13 +35,14 @@ boundaries; parity is gated on pipeline metrics (mAP), not on score bits.
 from __future__ import annotations
 
 import functools
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from . import search
+from . import pallas_nn, search
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -41,11 +50,11 @@ def score_hypotheses(grid, obj_pts: jax.Array,
                      obj_nrm: jax.Array, obj_mask: jax.Array,
                      hyps: jax.Array, radius, sigma,
                      chunk: int = 2048) -> jax.Array:
-    """Score H pose hypotheses for one object.
+    """Score H pose hypotheses for one object (single-object device fn;
+    the production stages go through score_requests below).
 
     Args:
-      grid: scene search index (level 1, normals attached) — either a
-        HashGrid or a DenseIndex (ops/search.py).
+      grid: scene search index (level 1, normals attached).
       obj_pts/obj_nrm: (P, 3) object points at the query level (padded).
       obj_mask: (P,) validity mask.
       hyps: (H, 4, 4) hypothesis transforms.
@@ -62,11 +71,11 @@ def score_hypotheses(grid, obj_pts: jax.Array,
     qn = jnp.einsum("hij,pj->hpi", R, obj_nrm)
 
     cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
-    idx, d2, dot = search.nearest_gated(
+    d2, dot, found = search.gated_min(
         grid, q.reshape(H * P, 3), qn.reshape(H * P, 3), radius, cos_gate,
         chunk=chunk)
-    found = (idx >= 0).reshape(H, P) & obj_mask[None, :]
-    d2 = d2.reshape(H, P)
+    found = found.reshape(H, P) & obj_mask[None, :]
+    d2 = jnp.where(found, d2.reshape(H, P), 0.0)
     dot = jnp.clip(dot.reshape(H, P), 0.0, 1.0)
 
     angle = jnp.arccos(dot)
@@ -90,128 +99,181 @@ def score_hypotheses(grid, obj_pts: jax.Array,
 MAX_QUERIES_PER_LAUNCH = 1 << 20
 
 
-def score_hypotheses_slab(slab, obj_pts: np.ndarray, obj_nrm: np.ndarray,
-                          hyps: np.ndarray, radius, sigma) -> np.ndarray:
-    """Fast TPU scoring path: hypotheses are host-known, so queries and
-    per-query-block NEAR-TILE LISTS are computed on the host and the
-    scalar-prefetch Pallas kernel touches exactly the scene tiles each
-    block needs — no scanned/skipped iterations at all."""
-    from . import pallas_nn
+def _pow2(n: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
 
+
+def prep_points(obj_pts: np.ndarray, obj_nrm: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Morton-sort and pad one object's query-level points for scoring.
+
+    Returns (pts (Pp, 3), nrm (Pp, 3), mask (Pp,)) with Pp = pow2:
+    points sorted for tight QUERY_BLOCK runs, replicate-last padding up to
+    the next block boundary, far sentinels beyond (their blocks skip the
+    kernel's tile loop entirely).
+    """
     p = len(obj_pts)
-    pp = 1 << max(int(np.ceil(np.log2(max(p, 1)))), 0)
     bq = pallas_nn.QUERY_BLOCK
-    h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
-    pts_p = np.zeros((pp, 3), np.float32)
-    pts_p[:p] = obj_pts
-    nrm_p = np.zeros((pp, 3), np.float32)
-    nrm_p[:p] = obj_nrm
-    center = np.asarray(slab.center)
-    cos_gate = float(np.cos(np.deg2rad(config.SCORE_MAX_ANGLE_DEG)))
-    valid_col = np.zeros(pp, bool)
-    valid_col[:p] = True
+    pp = max(_pow2(p), bq)
+    order = pallas_nn.morton_order(obj_pts)
+    pts = np.full((pp, 3), pallas_nn.FAR, np.float32)
+    nrm = np.zeros((pp, 3), np.float32)
+    mask = np.zeros(pp, bool)
+    pts[:p] = np.asarray(obj_pts, np.float32)[order]
+    nrm[:p] = np.asarray(obj_nrm, np.float32)[order]
+    mask[:p] = True
+    edge = min(((p + bq - 1) // bq) * bq, pp)
+    if p and edge > p:
+        pts[p:edge] = pts[p - 1]
+        nrm[p:edge] = nrm[p - 1]
+    return pts, nrm, mask
 
-    h = len(hyps)
-    out = np.empty(h, np.float32)
-    pending = []
-    for lo in range(0, max(h, 1), h_slice):
-        sl = hyps[lo:lo + h_slice]
-        mats = np.tile(np.eye(4, dtype=np.float32), (h_slice, 1, 1))
-        mats[:len(sl)] = sl
-        R = mats[:, :3, :3]
-        t = mats[:, :3, 3]
-        q = (np.einsum("hij,pj->hpi", R, pts_p) + t[:, None, :]
-             - center[None, None, :]).astype(np.float32)
-        qn = np.einsum("hij,pj->hpi", R, nrm_p).astype(np.float32)
-        m = h_slice * pp
-        qf = q.reshape(m, 3)
-        qslab = np.zeros((8, m), np.float32)
-        qslab[0:3] = qf.T
-        qslab[3] = (qf * qf).sum(1)
-        qslab[4:7] = qn.reshape(m, 3).T
-        # per-block bounds over VALID columns only (padding points sit at
-        # the hypothesis origin and would inflate the block bbox)
-        vmask = np.tile(valid_col, h_slice)
-        big = np.float32(1e9)
-        qv = np.where(vmask[:, None], qf, big)
-        bmin = qv.reshape(-1, bq, 3).min(axis=1)
-        qv = np.where(vmask[:, None], qf, -big)
-        bmax = qv.reshape(-1, bq, 3).max(axis=1)
-        tl = pallas_nn.block_near_tiles(
-            slab, np.concatenate([bmin, bmax], axis=1), float(radius))
-        idx, d2, dot = pallas_nn.nearest_gated_hostlist(
-            slab, qslab, tl, float(radius), cos_gate)
-        pending.append((lo, len(sl), idx, d2, dot, vmask))
 
-    for lo, n_sl, idx, d2, dot, vmask in pending:
-        idx = np.asarray(idx)
-        d2 = np.asarray(d2)
-        dot = np.clip(np.asarray(dot), 0.0, 1.0)
-        found = (idx >= 0) & vmask
-        ang = np.arccos(dot)
-        contrib = (config.SCORE_ALPHA
-                   * np.exp(-(ang * ang) / (2 * config.SCORE_NORMAL_SIGMA ** 2))
-                   + (1 - config.SCORE_ALPHA) * np.exp(-d2 / (2 * sigma * sigma)))
-        contrib = np.where(found, contrib, 0.0)
-        s = contrib.reshape(-1, pp).sum(axis=1) / max(p, 1)
-        out[lo:lo + n_sl] = s[:n_sl]
-    return out
+@functools.partial(jax.jit, static_argnames=())
+def _score_multi(grid, pts_all: jax.Array, nrm_all: jax.Array,
+                 mask_all: jax.Array, hyps: jax.Array, owner: jax.Array,
+                 radius, sigma) -> jax.Array:
+    """Score h hypotheses whose object points come from pts_all[owner[h]].
+
+    pts_all/nrm_all: (R, Pp, 3); mask_all: (R, Pp); hyps: (h, 4, 4);
+    owner: (h,) int32. Returns (h,) scores.
+    """
+    R = hyps[:, :3, :3]
+    t = hyps[:, :3, 3]
+    pts = jnp.take(pts_all, owner, axis=0)      # (h, Pp, 3)
+    nrm = jnp.take(nrm_all, owner, axis=0)
+    mask = jnp.take(mask_all, owner, axis=0)    # (h, Pp)
+    q = jnp.einsum("hij,hpj->hpi", R, pts) + t[:, None, :]
+    qn = jnp.einsum("hij,hpj->hpi", R, nrm)
+    h, Pp = mask.shape
+
+    cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
+    d2, dot, found = search.gated_min(
+        grid, q.reshape(h * Pp, 3), qn.reshape(h * Pp, 3), radius, cos_gate)
+    found = found.reshape(h, Pp) & mask
+    d2 = jnp.where(found, d2.reshape(h, Pp), 0.0)
+    dot = jnp.clip(dot.reshape(h, Pp), 0.0, 1.0)
+    angle = jnp.arccos(dot)
+    per_pt = (config.SCORE_ALPHA
+              * jnp.exp(-(angle * angle)
+                        / (2.0 * config.SCORE_NORMAL_SIGMA ** 2))
+              + (1.0 - config.SCORE_ALPHA)
+              * jnp.exp(-d2 / (2.0 * sigma * sigma)))
+    per_pt = jnp.where(found, per_pt, 0.0)
+    cnt = jnp.maximum(jnp.sum(mask, axis=1), 1)
+    return jnp.sum(per_pt, axis=1) / cnt
+
+
+class ScoreStream:
+    """Asynchronous scoring of (object points, hypotheses) requests.
+
+    Requests are grouped by padded point count Pp so hypotheses of
+    DIFFERENT objects share fixed-shape launches (compiled programs are
+    reused across objects, levels, and stages); each launch slices the
+    hypothesis stream so h_slice * Pp <= MAX_QUERIES_PER_LAUNCH, and tail
+    slots are padded with FAR translations (their query blocks are free).
+    ``submit`` dispatches launches immediately (JAX async dispatch keeps
+    the device busy while the host prepares the next request);
+    ``collect`` blocks and returns per-request score arrays.
+    """
+
+    def __init__(self, grid, radius: float, sigma: float):
+        self.grid = grid
+        self.radius = radius
+        self.sigma = sigma
+        self._groups = {}   # Pp -> dict(pts=[], owners=[], hyps=[], reqs=[])
+        self._results = []  # request idx -> (group, start, count)
+        self._n_req = 0
+
+    def submit(self, obj_pts: np.ndarray, obj_nrm: np.ndarray,
+               hyps: np.ndarray, prepped=None) -> int:
+        """Queue one request; returns its index. ``prepped`` optionally
+        carries a cached prep_points(obj_pts, obj_nrm) result."""
+        pts, nrm, mask = prepped if prepped is not None else \
+            prep_points(obj_pts, obj_nrm)
+        pp = len(pts)
+        g = self._groups.setdefault(
+            pp, {"pts": [], "nrm": [], "mask": [], "hyps": [], "req": []})
+        obj_slot = len(g["pts"])
+        g["pts"].append(pts)
+        g["nrm"].append(nrm)
+        g["mask"].append(mask)
+        g["hyps"].append(np.asarray(hyps, np.float32).reshape(-1, 4, 4))
+        g["req"].append((self._n_req, obj_slot))
+        self._results.append(None)
+        self._n_req += 1
+        return self._n_req - 1
+
+    def collect(self) -> List[np.ndarray]:
+        """Dispatch every group's launches and gather all scores."""
+        pending = []
+        for pp, g in sorted(self._groups.items()):
+            rp = _pow2(len(g["pts"]))
+            pts_all = np.full((rp, pp, 3), pallas_nn.FAR, np.float32)
+            nrm_all = np.zeros((rp, pp, 3), np.float32)
+            mask_all = np.zeros((rp, pp), bool)
+            for i in range(len(g["pts"])):
+                pts_all[i] = g["pts"][i]
+                nrm_all[i] = g["nrm"][i]
+                mask_all[i] = g["mask"][i]
+            owners = np.concatenate(
+                [np.full(len(h), slot, np.int32)
+                 for (_, slot), h in zip(g["req"], g["hyps"])])
+            hyps_all = np.concatenate(g["hyps"], axis=0) if g["hyps"] else \
+                np.zeros((0, 4, 4), np.float32)
+            h_total = len(hyps_all)
+            h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
+
+            pts_j = jnp.asarray(pts_all)
+            nrm_j = jnp.asarray(nrm_all)
+            mask_j = jnp.asarray(mask_all)
+            parts = []
+            for lo in range(0, max(h_total, 1), h_slice):
+                sl = hyps_all[lo:lo + h_slice]
+                own = owners[lo:lo + h_slice]
+                mats_p = np.tile(np.eye(4, dtype=np.float32),
+                                 (h_slice, 1, 1))
+                # FAR-translate tail hypotheses: their query blocks have an
+                # empty near-tile range and cost only the block prologue
+                mats_p[:, :3, 3] = 2 * pallas_nn.FAR
+                mats_p[:len(sl)] = sl
+                own_p = np.zeros(h_slice, np.int32)
+                own_p[:len(own)] = own
+                parts.append((len(sl), _score_multi(
+                    self.grid, pts_j, nrm_j, mask_j, jnp.asarray(mats_p),
+                    jnp.asarray(own_p), self.radius, self.sigma)))
+            pending.append((g, h_total, parts))
+
+        for g, h_total, parts in pending:
+            scores = np.empty(h_total, np.float32)
+            lo = 0
+            for n_sl, s in parts:
+                scores[lo:lo + n_sl] = np.asarray(s)[:n_sl]
+                lo += n_sl
+            offset = 0
+            for (req_idx, _), h in zip(g["req"], g["hyps"]):
+                self._results[req_idx] = scores[offset:offset + len(h)]
+                offset += len(h)
+        self._groups = {}
+        return self._results
+
+
+def score_requests(grid, requests: Sequence[Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray]],
+                   radius, sigma) -> List[np.ndarray]:
+    """Score a batch of (obj_pts, obj_nrm, hyps) requests; returns one
+    (H_i,) score array per request. See ScoreStream for the batching."""
+    stream = ScoreStream(grid, radius, sigma)
+    for pts, nrm, hyps in requests:
+        stream.submit(pts, nrm, hyps)
+    return stream.collect()
 
 
 def score_hypotheses_bucketed(grid, obj_pts: np.ndarray,
                               obj_nrm: np.ndarray, hyps: np.ndarray,
                               radius, sigma, chunk: int = 2048) -> np.ndarray:
-    """Host wrapper: pad points to pow2 and slice hypotheses so each launch
-    is one fixed-shape query chunk; compiled kernels are reused across
-    objects/levels/stages. Returns (H,) scores."""
-    import jax.numpy as jnp
-    from . import pallas_nn
-
-    # NOTE: the scalar-prefetch host-list path (score_hypotheses_slab) is
-    # kept EXPERIMENTAL and off: numerically correct (matches the plain
-    # kernel to 1e-6) but measured ~30x slower at full lattice scale on
-    # this TPU — per-grid-step tile DMA appears unpipelined under
-    # PrefetchScalarGridSpec here. The VMEM-resident kernel below is the
-    # production path; revisit with explicit double-buffered DMA.
-    use_experimental_hostlist = False
-    if (use_experimental_hostlist
-            and isinstance(grid, pallas_nn.SortedSlab)
-            and grid.host_bounds is not None):
-        return score_hypotheses_slab(grid, obj_pts, obj_nrm, hyps,
-                                     radius, sigma)
-
-    def pow2(n):
-        return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
-
-    p, h = len(obj_pts), len(hyps)
-    pp = pow2(p)
-    pts_p = np.zeros((pp, 3), np.float32)
-    pts_p[:p] = obj_pts
-    nrm_p = np.zeros((pp, 3), np.float32)
-    nrm_p[:p] = obj_nrm
-    mask = np.zeros(pp, bool)
-    mask[:p] = True
-    pts_j, nrm_j, mask_j = (jnp.asarray(pts_p), jnp.asarray(nrm_p),
-                            jnp.asarray(mask))
-
-    h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
-
-    # async-dispatch all slices, then pull results (keeps the device busy
-    # back-to-back while the host prepares the next slice)
-    results = []
-    for lo in range(0, max(h, 1), h_slice):
-        sl = hyps[lo:lo + h_slice]
-        mats_p = np.tile(np.eye(4, dtype=np.float32), (h_slice, 1, 1))
-        mats_p[:len(sl)] = sl
-        results.append((len(sl), score_hypotheses(
-            grid, pts_j, nrm_j, mask_j, jnp.asarray(mats_p), radius, sigma,
-            chunk=MAX_QUERIES_PER_LAUNCH)))
-    out = np.empty(h, np.float32)
-    lo = 0
-    for n_sl, s in results:
-        out[lo:lo + n_sl] = np.asarray(s)[:n_sl]
-        lo += n_sl
-    return out
+    """Single-request convenience wrapper over score_requests."""
+    return score_requests(grid, [(obj_pts, obj_nrm, hyps)], radius, sigma)[0]
 
 
 def grid_search_hypotheses(bbox_min: np.ndarray, bbox_max: np.ndarray,

@@ -56,6 +56,21 @@ def nearest_gated(index: Index, q_pos, q_nrm, radius, cos_gate,
                                   chunk=min(chunk, 2048))
 
 
+def gated_min(index: Index, q_pos, q_nrm, radius, cos_gate,
+              use_abs_dot: bool = False, chunk: int = 4096):
+    """(d2, dot, found) of the nearest in-radius gate-passing neighbor —
+    the scoring path's query: no neighbor INDEX is tracked, which lets the
+    Pallas kernel drop its int32 carry and the permutation gather."""
+    if isinstance(index, pallas_nn.SortedSlab):
+        d2, dot = pallas_nn.gated_min_pallas(index, q_pos, q_nrm, radius,
+                                             cos_gate,
+                                             use_abs_dot=use_abs_dot)
+        return d2, dot, jnp.isfinite(d2)
+    idx, d2, dot = nearest_gated(index, q_pos, q_nrm, radius, cos_gate,
+                                 use_abs_dot=use_abs_dot, chunk=chunk)
+    return d2, dot, idx >= 0
+
+
 def index_arrays(index: Index) -> Tuple[jax.Array, jax.Array]:
     """(points, normals) in original order, for correspondence gathers."""
     if isinstance(index, pallas_nn.SortedSlab):

@@ -8,18 +8,20 @@ TPU-native restructuring of the reference's host loops:
 
 * initial search (reference: per-object triple loop over (ox, oz, theta)
   with one OpenMP radius-search scoring call each,
-  pose_proposal.cpp:170-254): here the full (cells x angles) hypothesis
-  lattice of an object is scored in ONE device launch per object
-  (ops/score.py), and the per-cell best-angle + threshold selection is a
-  masked segment-max.
-* verification at levels 3, 2 (reference: :256-303): one batched rescore
-  per object per level.
+  pose_proposal.cpp:170-254): the full (cells x angles) hypothesis
+  lattice of EVERY object is scored in one stream of fixed-shape device
+  launches (ops/score.py ScoreStream), after an exact host-side occupancy
+  prune (threaded across objects); per-cell best-angle + threshold
+  selection is vectorized.
+* verification at levels 3, 2 (reference: :256-303): ALL objects' surviving
+  poses rescored per level in shared launches.
 * ICP refinement (reference: per-proposal icp_align rebuilding search
   structures each call, main.cpp:178-204): ALL (object, proposal) pairs
-  refined in one batched ICP launch against a single scene grid, then
-  rescored at level 1 in one launch per object.
-* NMS (reference: :371-452): greedy keep-max on host with exact voxel
-  overlap factors (ops/voxel.py).
+  refined in one batched ICP launch against a single scene grid (converged
+  pairs deactivate on-device), then rescored at level 1 in shared launches.
+* NMS (reference: :371-452): greedy keep-max on host, distance/score
+  rejections vectorized per round, exact voxel overlap factors
+  (ops/voxel.py) only for survivors.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Tuple
 
 import numpy as np
@@ -116,6 +119,9 @@ class SceneOccupancy:
         self.occ = occ
         self.masks = masks
         self.res = np.asarray(occ.shape)
+        # flat views for fast fancy indexing in score_upper_bound
+        self._occ_flat = occ.reshape(-1)
+        self._masks_flat = masks.reshape(-1) if masks is not None else None
 
     @staticmethod
     def _fibonacci_dirs(n: int) -> np.ndarray:
@@ -149,6 +155,7 @@ class SceneOccupancy:
         R = hyps[:, :3, :3]
         t = hyps[:, :3, 3]
         use_nrm = obj_nrm is not None and self.masks is not None
+        r0, r1, r2 = (int(x) for x in self.res)
 
         # hypotheses come from a lattice with few unique rotations: group
         # by rotation so points/normals are rotated once per angle
@@ -156,97 +163,195 @@ class SceneOccupancy:
         _, grp_idx, grp_inv = np.unique(key, axis=0, return_index=True,
                                         return_inverse=True)
         block = max(1, 4_000_000 // max(len(obj_pts), 1))
+        inv_vox = np.float32(1.0 / self.voxel)
         for g, hrep in enumerate(grp_idx):
             sel = np.where(grp_inv == g)[0]
-            rp = (obj_pts @ R[hrep].T - self.origin) / self.voxel  # (P, 3)
+            rp = (obj_pts @ R[hrep].T - self.origin) * inv_vox   # (P, 3)
             if use_nrm:
                 rn = obj_nrm @ R[hrep].T
                 qbin = np.argmax(rn @ self.bin_dirs.T, axis=1)
-                req = self.compat[qbin]                            # (P,) u32
+                req = self.compat[qbin]                          # (P,) u64
             for lo in range(0, len(sel), block):
                 hh = sel[lo:lo + block]
-                tv = t[hh] / self.voxel                            # (B, 3)
-                c = np.floor(rp[None, :, :] + tv[:, None, :]).astype(np.int64)
-                inb = ((c >= 0) & (c < self.res[None, None, :])).all(axis=2)
-                cc = np.clip(c, 0, self.res[None, None, :] - 1)
+                tv = t[hh] * inv_vox                             # (B, 3)
+                c0 = np.floor(rp[None, :, 0] + tv[:, 0:1]).astype(np.int64)
+                c1 = np.floor(rp[None, :, 1] + tv[:, 1:2]).astype(np.int64)
+                c2 = np.floor(rp[None, :, 2] + tv[:, 2:3]).astype(np.int64)
+                inb = ((c0 >= 0) & (c0 < r0) & (c1 >= 0) & (c1 < r1)
+                       & (c2 >= 0) & (c2 < r2))
+                flat = ((np.clip(c0, 0, r0 - 1) * r1
+                         + np.clip(c1, 0, r1 - 1)) * r2
+                        + np.clip(c2, 0, r2 - 1))
                 if use_nrm:
-                    near = ((self.masks[cc[..., 0], cc[..., 1], cc[..., 2]]
-                             & req[None, :]) != 0) & inb
-                else:
-                    near = (self.occ[cc[..., 0], cc[..., 1], cc[..., 2]]
+                    near = (((self._masks_flat[flat] & req[None, :]) != 0)
                             & inb)
+                else:
+                    near = self._occ_flat[flat] & inb
                 out[hh] = near.mean(axis=1)
         return out
+
+
+def _select_cell_best(s4: np.ndarray, cell_of_hyp: np.ndarray,
+                      thr: float) -> np.ndarray:
+    """Vectorized per-cell best-angle selection (pose_proposal.cpp:238-243):
+    the highest-scoring hypothesis of each lattice cell survives if its
+    score exceeds the threshold; ties keep the earliest hypothesis.
+    Returns surviving hypothesis indices ordered by cell id."""
+    if len(s4) == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((np.arange(len(s4)), -s4, cell_of_hyp))
+    cells_sorted = cell_of_hyp[order]
+    first = np.ones(len(order), bool)
+    first[1:] = cells_sorted[1:] != cells_sorted[:-1]
+    best_h = order[first]
+    return best_h[s4[best_h] > thr]
+
+
+def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
+                            occupancy: "SceneOccupancy | None",
+                            verbose: bool = False
+                            ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Coarse-to-fine grid search for every dynamic object, level-major:
+    the occupancy prune runs threaded across objects, then each level's
+    scoring for ALL objects shares one launch stream. Returns per-object
+    (poses (K,4,4), scores (K,))."""
+    lvl = config.GRID_SEARCH_LEVELS[0]
+    hyps, cell_of_hyp, _ = score.grid_search_hypotheses(
+        scene_bbox[0], scene_bbox[1])
+    radius = sigma = config.SCORE_SEARCH_RADII[config.SCORE_SEARCH_LVL]
+
+    dyn = [i for i in range(len(db.objects)) if not db.is_object_static(i)]
+    results: List[Tuple[np.ndarray, np.ndarray]] = \
+        [(np.zeros((0, 4, 4), np.float32), np.zeros(0, np.float32))
+         for _ in db.objects]
+    if not dyn:
+        return results
+
+    # --- occupancy prune, threaded across objects (host numpy) ---
+    t0 = time.perf_counter()
+    if occupancy is not None:
+        def prune(i):
+            obj = db.objects[i].cloud
+            ub = occupancy.score_upper_bound(obj.pos(lvl), hyps,
+                                             obj_nrm=obj.nrm(lvl))
+            return np.where(ub >= config.SCORE_THRESHOLDS[lvl])[0]
+        with ThreadPoolExecutor(max_workers=min(4, len(dyn))) as ex:
+            alive = dict(zip(dyn, ex.map(prune, dyn)))
+    else:
+        alive = {i: np.arange(len(hyps)) for i in dyn}
+    if verbose:
+        for i in dyn:
+            print(f"POSE_PROPOSAL:         occupancy prune kept "
+                  f"{len(alive[i])}/{len(hyps)} hypotheses "
+                  f"({db.class_name(db.objects[i].class_idx)}."
+                  f"{db.objects[i].uidx:03d})")
+        print(f"PROFILE:   prune {time.perf_counter() - t0:.2f}s")
+
+    # --- level 4: full lattice, keep best angle per cell above threshold
+    # (pose_proposal.cpp:213-243) ---
+    t0 = time.perf_counter()
+    prepped = {(i, lvl): score.prep_points(db.objects[i].cloud.pos(lvl),
+                                           db.objects[i].cloud.nrm(lvl))
+               for i in dyn}
+    stream = score.ScoreStream(scene_grid, radius, sigma)
+    for i in dyn:
+        stream.submit(None, None, hyps[alive[i]], prepped=prepped[(i, lvl)])
+    lvl4_scores = stream.collect()
+
+    poses_of, scores_of = {}, {}
+    thr = config.SCORE_THRESHOLDS[lvl]
+    for k, i in enumerate(dyn):
+        s4 = np.zeros(len(hyps), np.float32)
+        s4[alive[i]] = lvl4_scores[k]
+        keep = _select_cell_best(s4, cell_of_hyp, thr)
+        poses_of[i] = hyps[keep]
+        scores_of[i] = s4[keep].astype(np.float32)
+        if verbose:
+            print(f"POSE_PROPOSAL:         --> Found {len(keep)} potential "
+                  f"poses for object {i}. "
+                  f"(Max score: {s4.max() if len(s4) else -1e9:f})")
+    if verbose:
+        print(f"PROFILE:   level-4 scoring {time.perf_counter() - t0:.2f}s")
+
+    # --- levels 3, 2: rescore still-valid poses of ALL objects together,
+    # mark below-threshold as -1; -1 entries are carried along (they
+    # survive the final copy's |score| > 1e-6 filter, mgs_propose_poses
+    # :348-359, and die in NMS via its score < 0.01 rule) ---
+    for vlvl in config.GRID_SEARCH_LEVELS[1:]:
+        t0 = time.perf_counter()
+        stream = score.ScoreStream(scene_grid, radius, sigma)
+        submitted = []
+        for i in dyn:
+            valid = scores_of[i] > 0.0
+            if not valid.any():
+                continue
+            key = (i, vlvl)
+            if key not in prepped:
+                prepped[key] = score.prep_points(
+                    db.objects[i].cloud.pos(vlvl),
+                    db.objects[i].cloud.nrm(vlvl))
+            stream.submit(None, None, poses_of[i][valid],
+                          prepped=prepped[key])
+            submitted.append((i, valid))
+        rescored = stream.collect()
+        thr = config.SCORE_THRESHOLDS[vlvl]
+        for (i, valid), sv in zip(submitted, rescored):
+            scores_of[i][valid] = np.where(sv > thr, sv,
+                                           -1.0).astype(np.float32)
+        if verbose:
+            for i in dyn:
+                print(f"POSE_PROPOSAL:         --> Level {vlvl}: "
+                      f"{int((scores_of[i] > 0).sum())} poses (object {i})")
+            print(f"PROFILE:   level-{vlvl} rescoring "
+                  f"{time.perf_counter() - t0:.2f}s")
+
+    for i in dyn:
+        aliveM = (np.abs(scores_of[i]) > 1e-6 if len(poses_of[i])
+                  else np.zeros(0, bool))
+        results[i] = (poses_of[i][aliveM], scores_of[i][aliveM])
+    return results
 
 
 def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
                              verbose: bool = False,
                              occupancy: "SceneOccupancy | None" = None
                              ) -> Tuple[np.ndarray, np.ndarray]:
-    """Coarse-to-fine grid search for one object: returns (poses (K,4,4),
-    scores (K,)) surviving all three levels (4 -> 3 -> 2)."""
-    import jax.numpy as jnp
-
+    """Single-object convenience wrapper over the level-major search (used
+    by tests and the multichip dryrun): builds a one-object fake database
+    record path through the same code the production stage runs."""
     lvl = config.GRID_SEARCH_LEVELS[0]
-    hyps, cell_of_hyp, n_cells = score.grid_search_hypotheses(
+    hyps, cell_of_hyp, _ = score.grid_search_hypotheses(
         scene_bbox[0], scene_bbox[1])
-
     radius = sigma = config.SCORE_SEARCH_RADII[config.SCORE_SEARCH_LVL]
 
-    def batch_score(mats: np.ndarray, query_lvl: int) -> np.ndarray:
-        return score.score_hypotheses_bucketed(
-            scene_grid, obj.pos(query_lvl), obj.nrm(query_lvl), mats,
-            radius, sigma)
-
-    # level 4: full lattice, keep best angle per cell above threshold
-    # (pose_proposal.cpp:213-243)
-    t0 = time.perf_counter()
     if occupancy is not None:
         ub = occupancy.score_upper_bound(obj.pos(lvl), hyps,
                                          obj_nrm=obj.nrm(lvl))
-        alive = ub >= config.SCORE_THRESHOLDS[lvl]
-        s4 = np.zeros(len(hyps), np.float32)
-        if alive.any():
-            s4[alive] = batch_score(hyps[alive], lvl)
-        if verbose:
-            print(f"POSE_PROPOSAL:         occupancy prune kept "
-                  f"{int(alive.sum())}/{len(hyps)} hypotheses")
+        alive = np.where(ub >= config.SCORE_THRESHOLDS[lvl])[0]
     else:
-        s4 = batch_score(hyps, lvl)
-    best = {}
-    for h in range(len(hyps)):
-        c = cell_of_hyp[h]
-        if s4[h] > best.get(c, (0.0, -1))[0]:
-            best[c] = (s4[h], h)
-    thr = config.SCORE_THRESHOLDS[lvl]
-    keep = [h for c, (sc, h) in sorted(best.items()) if sc > thr]
+        alive = np.arange(len(hyps))
+    s4 = np.zeros(len(hyps), np.float32)
+    if len(alive):
+        s4[alive] = score.score_hypotheses_bucketed(
+            scene_grid, obj.pos(lvl), obj.nrm(lvl), hyps[alive],
+            radius, sigma)
+    keep = _select_cell_best(s4, cell_of_hyp, config.SCORE_THRESHOLDS[lvl])
     poses = hyps[keep]
-    scores = s4[keep]
-    if verbose:
-        print(f"POSE_PROPOSAL:         --> Found {len(poses)} potential poses "
-              f"in {time.perf_counter() - t0:f}s. "
-              f"(Max score: {s4.max() if len(s4) else -1e9:f})")
+    scores = s4[keep].astype(np.float32)
 
-    # levels 3, 2: rescore still-valid poses, mark below-threshold as -1;
-    # -1 entries are carried along (they survive the final copy's
-    # |score| > 1e-6 filter, mgs_propose_poses :348-359, and die in NMS
-    # via its score < 0.01 rule — unless an object has ONLY invalid poses,
-    # in which case NMS keeps the max like the reference does)
-    scores = scores.astype(np.float32)
     for vlvl in config.GRID_SEARCH_LEVELS[1:]:
         if len(poses) == 0:
             break
         valid = scores > 0.0
         if valid.any():
-            sv = batch_score(poses[valid], vlvl)
+            sv = score.score_hypotheses_bucketed(
+                scene_grid, obj.pos(vlvl), obj.nrm(vlvl), poses[valid],
+                radius, sigma)
             thr = config.SCORE_THRESHOLDS[vlvl]
             scores[valid] = np.where(sv > thr, sv, -1.0).astype(np.float32)
-        if verbose:
-            print(f"POSE_PROPOSAL:         --> Level {vlvl}: "
-                  f"{int((scores > 0).sum())} poses")
 
-    alive = np.abs(scores) > 1e-6 if len(poses) else np.zeros(0, bool)
-    return poses[alive], scores[alive]
+    aliveM = np.abs(scores) > 1e-6 if len(poses) else np.zeros(0, bool)
+    return poses[aliveM], scores[aliveM]
 
 
 def non_maxima_suppression(db: rsdbio.Rsdb,
@@ -255,7 +360,9 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
                            verbose: bool = False):
     """Greedy NMS per object (mgs_non_maxima_suppresion,
     pose_proposal.cpp:371-452): keep max-score detection, discard others
-    with centroid distance < 0.2 m, voxel overlap > 0.5, or score < 0.01."""
+    with centroid distance < 0.2 m, voxel overlap > 0.5, or score < 0.01.
+    Distance/score rejections are vectorized per round; the exact voxel
+    overlap factor runs only for survivors of those tests."""
     out = []
     for i, (poses, scores) in enumerate(proposals):
         n = len(poses)
@@ -266,7 +373,7 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
         c = shape.centroid(0)
         ch = np.concatenate([c, [1.0]]).astype(np.float32)
         marks = np.zeros(n, dtype=np.int8)  # 0 unmarked, 1 keep, 2 discard
-        centers = poses @ ch  # (n, 4)
+        centers = (poses @ ch)[:, :3]  # (n, 3)
         posed_cache = {}  # pose idx -> posed_points (transform each once)
         while (marks == 0).any():
             unm = np.where(marks == 0)[0]
@@ -274,14 +381,15 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
             marks[mx] = 1
             cached_mx = posed_cache.setdefault(
                 mx, voxel.posed_points(shape, poses[mx]))
-            for j in unm:
-                if j == mx or marks[j] != 0:
-                    continue
-                dist = np.linalg.norm(centers[mx, :3] - centers[j, :3])
-                if scores[j] < config.NMS_MIN_SCORE or dist < dist_threshold:
-                    marks[j] = 2
-                    posed_cache.pop(j, None)
-                    continue
+            rest = unm[unm != mx]
+            if len(rest) == 0:
+                continue
+            dist = np.linalg.norm(centers[rest] - centers[mx][None, :],
+                                  axis=1)
+            kill = (scores[rest] < config.NMS_MIN_SCORE) | \
+                (dist < dist_threshold)
+            marks[rest[kill]] = 2
+            for j in rest[~kill]:
                 cached_j = posed_cache.setdefault(
                     j, voxel.posed_points(shape, poses[j]))
                 ov = voxel.overlap_factor(shape, poses[mx], shape, poses[j],
@@ -329,34 +437,26 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     t_stage = time.perf_counter()
 
     # one scene search grid at level 1 serves every scoring pass
-    # (search_lvl = 1 throughout, pose_proposal.cpp:178,:263)
+    # (search_lvl = 1 throughout, pose_proposal.cpp:178,:263); the
+    # occupancy grid build runs concurrently on a host thread
     slvl = config.SCORE_SEARCH_LVL
-    scene_grid = search.build_index(scn_cloud.pos(slvl),
-                                    config.SCORE_SEARCH_RADII[slvl],
-                                    normals=scn_cloud.nrm(slvl))
-    bbox = scn_cloud.bbox
-    occupancy = SceneOccupancy(scn_cloud.pos(slvl),
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        occ_future = ex.submit(SceneOccupancy, scn_cloud.pos(slvl),
                                config.SCORE_SEARCH_RADII[slvl],
                                scene_nrm=scn_cloud.nrm(slvl))
+        scene_grid = search.build_index(scn_cloud.pos(slvl),
+                                        config.SCORE_SEARCH_RADII[slvl],
+                                        normals=scn_cloud.nrm(slvl))
+        occupancy = occ_future.result()
+    bbox = scn_cloud.bbox
 
     if verbose:
         print(f"PROFILE: search grid + occupancy {time.perf_counter() - t_stage:.2f}s")
     t_stage = time.perf_counter()
 
-    # --- multiresolution grid search per dynamic object ---
-    proposals: List[Tuple[np.ndarray, np.ndarray]] = []
-    for i, obj in enumerate(db.objects):
-        if db.is_object_static(i):
-            proposals.append((np.zeros((0, 4, 4), np.float32),
-                              np.zeros(0, np.float32)))
-            continue
-        name = db.class_name(obj.class_idx)
-        if verbose:
-            print(f"POSE_PROPOSAL:      Searching for transformation for "
-                  f"model {name}.{obj.uidx:03d} ({i})...")
-        proposals.append(propose_poses_for_object(obj.cloud, scene_grid,
-                                                  bbox, verbose,
-                                                  occupancy=occupancy))
+    # --- multiresolution grid search, all dynamic objects level-major ---
+    proposals = grid_search_all_objects(db, scene_grid, bbox, occupancy,
+                                        verbose=verbose)
 
     if verbose:
         print(f"PROFILE: grid search (all objects) {time.perf_counter() - t_stage:.2f}s")
@@ -393,8 +493,8 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         by_obj = {}
         for b, (i, k) in enumerate(owners):
             by_obj.setdefault(i, []).append((b, k))
-        # pad object points to a common size for a single ICP launch;
-        # bucket batch and point dims to powers of two for compile reuse
+        # pad object points per pair (Morton-sorted, replicate + FAR fill,
+        # pad_batch) and the batch dim to a power of two for compile reuse
         pts_l, nrm_l = [], []
         for b, (i, k) in enumerate(owners):
             pts_l.append(db.objects[i].cloud.pos(icp_lvl))
@@ -402,10 +502,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l)
         B, N = mask_b.shape
         Bp = 1 << int(np.ceil(np.log2(max(B, 1))))
-        Np = 1 << int(np.ceil(np.log2(max(N, 1))))
-        pts_b = np.pad(pts_b, ((0, Bp - B), (0, Np - N), (0, 0)))
-        nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, Np - N), (0, 0)))
-        mask_b = np.pad(mask_b, ((0, Bp - B), (0, Np - N)))
+        pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
+                       constant_values=2e6)
+        nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))
+        mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
         T_all = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
         T_all[:B] = np.stack(flat_T)
         T_ref, _ = icp.icp_align_batched(
@@ -418,9 +518,12 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
             print(f"PROFILE: ICP refinement {time.perf_counter() - t_stage:.2f}s")
         t_stage = time.perf_counter()
 
-        # rescore refined poses at query level 1 in one launch per object
+        # rescore refined poses at query level 1, all objects in one
+        # launch stream
         qlvl = config.REFINE_SCORE_QUERY_LVL
         radius = sigma = config.SCORE_SEARCH_RADII[slvl]
+        stream = score.ScoreStream(scene_grid, radius, sigma)
+        obj_order = []
         for i, entries in by_obj.items():
             name = db.class_name(db.objects[i].class_idx)
             if verbose:
@@ -428,8 +531,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                       f"{name}.{db.objects[i].uidx:03d}")
             obj = db.objects[i].cloud
             mats = np.stack([T_ref[b] for b, _ in entries])
-            s = score.score_hypotheses_bucketed(
-                scene_grid, obj.pos(qlvl), obj.nrm(qlvl), mats, radius, sigma)
+            stream.submit(obj.pos(qlvl), obj.nrm(qlvl), mats)
+            obj_order.append((i, entries, mats))
+        rescored = stream.collect()
+        for (i, entries, mats), s in zip(obj_order, rescored):
             for (b, k), sc, Tn in zip(entries, s, mats):
                 prop_lists[i][k] = Tn
                 score_lists[i][k] = float(sc)

@@ -118,18 +118,49 @@ def test_icp_works_with_dense_index(rng):
     assert np.abs(moved - pts[:800]).mean() < 0.02
 
 
-def test_hostlist_kernel_interpret(rng):
-    """Experimental scalar-prefetch path agrees with the production kernel
-    (interpret mode on CPU keeps it from rotting)."""
-    from rescan_tpu.ops import pallas_nn, score as score_mod
-    pts, nrm, q, qn = _data(rng, 1200, 0)
+def test_gated_min_matches_nearest(rng):
+    """The idx-free scoring kernel returns the same (d2, dot, found) as
+    the full nearest-neighbor kernel."""
+    from rescan_tpu.ops import pallas_nn
+    pts, nrm, q, qn = _data(rng, 1500, 300)
     slab = pallas_nn.build_sorted_slab(pts, nrm)
-    obj = pts[:64] + 0.01
-    objn = nrm[:64]
-    hyps = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
-    hyps[:, 0, 3] = np.linspace(-0.05, 0.05, 5)
-    fast = score_mod.score_hypotheses_slab(slab, obj, objn, hyps, 0.1, 0.1)
-    ref = np.asarray(score_mod.score_hypotheses(
-        slab, jnp.asarray(np.pad(obj, ((0, 0), (0, 0)))),
-        jnp.asarray(objn), jnp.ones(64, bool), jnp.asarray(hyps), 0.1, 0.1))
-    np.testing.assert_allclose(fast, ref, atol=1e-5)
+    cg = np.cos(np.deg2rad(35.0))
+    pi, pd2, pdot = (np.asarray(x) for x in pallas_nn.nearest_gated_pallas(
+        slab, jnp.asarray(q), jnp.asarray(qn), 0.15, cg))
+    md2, mdot = (np.asarray(x) for x in pallas_nn.gated_min_pallas(
+        slab, jnp.asarray(q), jnp.asarray(qn), 0.15, cg))
+    found = pi >= 0
+    np.testing.assert_array_equal(found, np.isfinite(md2))
+    np.testing.assert_array_equal(pd2[found], md2[found])
+    np.testing.assert_array_equal(pdot[found], mdot[found])
+
+
+def test_score_requests_matches_single(rng):
+    """Multi-object grouped launches produce the same scores as the
+    single-object device function, including mixed point counts and the
+    replicate/FAR padding discipline."""
+    from rescan_tpu.ops import pallas_nn, score as score_mod
+    pts, nrm, _, _ = _data(rng, 1200, 0)
+    slab = pallas_nn.build_sorted_slab(pts, nrm)
+    objs = [(pts[:50] + 0.01, nrm[:50]),
+            (pts[100:400] + 0.005, nrm[100:400]),
+            (pts[400:703], nrm[400:703])]
+    reqs = []
+    for k, (o, on) in enumerate(objs):
+        hyps = np.tile(np.eye(4, dtype=np.float32), (3 + k, 1, 1))
+        hyps[:, 0, 3] = np.linspace(-0.05, 0.05, 3 + k)
+        reqs.append((o, on, hyps))
+    got = score_mod.score_requests(slab, reqs, 0.1, 0.1)
+    for (o, on, hyps), s in zip(reqs, got):
+        p = len(o)
+        pp = max(256, 1 << int(np.ceil(np.log2(p))))
+        opad = np.zeros((pp, 3), np.float32)
+        opad[:p] = o
+        npad = np.zeros((pp, 3), np.float32)
+        npad[:p] = on
+        mask = np.zeros(pp, bool)
+        mask[:p] = True
+        ref = np.asarray(score_mod.score_hypotheses(
+            slab, jnp.asarray(opad), jnp.asarray(npad), jnp.asarray(mask),
+            jnp.asarray(hyps), 0.1, 0.1))
+        np.testing.assert_allclose(s, ref, atol=1e-5)
