@@ -82,7 +82,7 @@ def prepare_inputs():
     open(marker, "w").write("ok")
 
 
-def timed_run(tag: str) -> float:
+def timed_run(tag: str, save_outputs: bool = False) -> float:
     """One pose_proposal stage run; returns the reference-comparable span
     (scene ingest through pose sort, matching 'Computed poses in')."""
     from rescan_tpu.pipeline import pose_proposal
@@ -90,8 +90,22 @@ def timed_run(tag: str) -> float:
     out = os.path.join(BENCH_DIR, f"scan_001_pp_{tag}.rsdb")
     db = pose_proposal.run(os.path.join(BENCH_DIR, "scan_000.rsdb"),
                            os.path.join(BENCH_DIR, "scan_001.ply"), out,
-                           verbose=False, save_outputs=False)
+                           verbose=False, save_outputs=save_outputs)
     return float(db.last_pose_proposal_seconds)
+
+
+def segment_transfer_profile() -> dict:
+    """Run segment_transfer on the measured pose_proposal output and
+    return its per-stage wall-clock timings (the reference's C++
+    segment_transfer cannot be built on this machine — gco-v3.0 is not
+    vendored, BASELINE.md — so these are recorded absolute, not vs-ref)."""
+    from rescan_tpu.pipeline import segment_transfer
+
+    pp = os.path.join(BENCH_DIR, "scan_001_pp_measured.rsdb")
+    out = os.path.join(BENCH_DIR, "scan_001.rsdb")
+    db = segment_transfer.run(pp, out)
+    return {k: round(v, 3)
+            for k, v in db.last_segment_transfer_timings.items()}
 
 
 def main():
@@ -100,7 +114,10 @@ def main():
     # jit cache carries the warmup run's compiles into the measured run.
     prepare_inputs()
     timed_run("warmup")          # compile warm-up
-    secs = timed_run("measured")  # steady-state
+    secs = timed_run("measured", save_outputs=True)  # steady-state
+    st = segment_transfer_profile()
+    print("SEGMENT_TRANSFER_PROFILE: " + " ".join(
+        f"{k}={v}s" for k, v in st.items()))
     print(json.dumps({
         "metric": "pose_proposal_sec_per_rescan",
         "value": round(secs, 3),

@@ -96,13 +96,22 @@ class Rsdb:
     def is_class_static(self, class_idx: int) -> bool:
         """Static-class predicate (rs_database.h:257-288). The reference
         caches per-name indices from the first db queried; we use the
-        intended semantics: lookup in this db's class table."""
+        intended semantics: lookup in this db's class table. Memoized per
+        class_idx — the SA inner loop queries this ~10 times per iteration
+        (class tables never shrink, so hits stay valid)."""
+        cache = self.__dict__.setdefault("_static_cache", {})
+        hit = cache.get(class_idx)
+        if hit is not None:
+            return hit
         from .. import config
+        out = False
         for name in config.STATIC_CLASS_NAMES:
             idx = self.class_table.get(name, -1)
             if idx >= 0 and class_idx == idx:
-                return True
-        return False
+                out = True
+                break
+        cache[class_idx] = out
+        return out
 
     def is_object_static(self, obj_idx: int) -> bool:
         return self.is_class_static(self.objects[obj_idx].class_idx)

@@ -119,7 +119,7 @@ def build_context(db: Rsdb, scene_idx: int,
             cov = obj.cloud.covariance(0).astype(np.float64)
             for p in range(k):
                 T = np.asarray(poses[i][p], np.float32)
-                key = (i, hash(T.tobytes()))
+                key = (i, T.tobytes())
                 cells = ctx.world_to_cells(pts2, T)
                 cell_list.append(cells)
                 ctx.obj_cells_cache[key] = cells
@@ -140,7 +140,7 @@ def placement_cells(ctx: EnergyContext, db: Rsdb, p: Placement) -> np.ndarray:
     """Covered cells of a placement; proposals hit the precomputed table,
     anything else (e.g. carried-over poses) is rasterized once and cached."""
     i = p.object_idx
-    key = (i, hash(np.asarray(p.pose, np.float32).tobytes()))
+    key = (i, np.asarray(p.pose, np.float32).tobytes())
     cached = ctx.obj_cells_cache.get(key)
     if cached is not None:
         return cached
@@ -152,7 +152,7 @@ def placement_cells(ctx: EnergyContext, db: Rsdb, p: Placement) -> np.ndarray:
 
 def placement_gaussian(ctx: EnergyContext, db: Rsdb, p: Placement):
     """(world centroid, inverse rotated covariance) of a placement, cached."""
-    key = (p.object_idx, hash(p.pose.tobytes()))
+    key = (p.object_idx, p.pose.tobytes())
     g = ctx.gauss_cache.get(key)
     if g is None:
         obj = db.objects[p.object_idx].cloud
@@ -294,46 +294,430 @@ def scene_alignment_score(ctx: EnergyContext, db: Rsdb,
 
 
 # ---------------------------------------------------------------------------
+# Incrementally maintained energy (the fast path used by greedy and SA)
+# ---------------------------------------------------------------------------
+
+class FastEnergy:
+    """Incrementally maintained 4-term scene-alignment energy.
+
+    The reference recomputes the FULL energy for every candidate/step
+    (rsao_compute_scene_alignment_score at arrangement_optimization.cpp:866,
+    :1012), re-rasterizing the whole arrangement each call. Here each term
+    carries state updated in O(changed placement):
+
+    * coverage — per-cell cover counts over the salient scene cells plus a
+      covered-cell counter (a placement's salient-cell footprint is
+      precomputed once in the EnergyContext),
+    * intersection — the symmetric pairwise midpoint-Mahalanobis penalty
+      matrix; add/remove touches one row/column,
+    * geometry — the placements' scores, summed on demand (n is small),
+    * hysteresis — per-placement persistence values cached by
+      (uidx, object, translation); past-arrangement arrays are cached and
+      invalidated when ``_linearize_ids`` mutates one.
+
+    ``score()`` equals ``scene_alignment_score`` on the same arrangement
+    (same formulas, same float32/float64 promotion points); equality is
+    asserted by tests/test_energy_fast.py.
+    """
+
+    _CAP0 = 64
+
+    def __init__(self, ctx: EnergyContext, db: Rsdb, scene_idx: int,
+                 weights: Sequence[float], n_past_steps: int,
+                 arrangement: Sequence[Placement] = ()):
+        self.ctx, self.db, self.scene_idx = ctx, db, scene_idx
+        self.weights = tuple(weights)
+        self.wsum = sum(weights)
+        self.n_past = n_past_steps
+        self.items: List[Placement] = []
+        # coverage state
+        self._cnt = np.zeros(len(ctx.scn_valid), np.int32)
+        self._n_cov = 0
+        self._sal_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        # intersection state (capacity-backed)
+        cap = self._CAP0
+        self._cents = np.zeros((cap, 3), np.float64)
+        self._sig_invs = np.zeros((cap, 3, 3), np.float64)
+        self._pen = np.zeros((cap, cap), np.float64)
+        # hysteresis caches
+        self._obj_sigma = np.array(
+            [max(config.HYSTER_SIGMA_A
+                 * np.exp(-config.HYSTER_SIGMA_B * _bbox_volume(o.cloud))
+                 + config.HYSTER_SIGMA_C, config.HYSTER_SIGMA_MIN)
+             for o in db.objects], np.float64)
+        self._past_arrays: Dict[int, Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]] = {}
+        self._f_cache: Dict[Tuple[int, int, bytes], Tuple[float, bool,
+                                                          bool]] = {}
+        self._f: List[Tuple[float, bool, bool]] = []  # per item
+        for p in arrangement:
+            self.add(p)
+
+    # -- hysteresis helpers --------------------------------------------------
+
+    def invalidate_past(self) -> None:
+        """Call after db.arrangements mutates (e.g. _linearize_ids)."""
+        self._past_arrays.clear()
+        self._f_cache.clear()
+        self._f = [self._placement_f(p) for p in self.items]
+
+    def _past(self, ai: int):
+        arrs = self._past_arrays.get(ai)
+        if arrs is None:
+            past = self.db.arrangements[ai]
+            arrs = (np.array([p.uidx for p in past], np.int64),
+                    np.array([self.db.objects[p.object_idx].class_idx
+                              for p in past], np.int64),
+                    np.array([p.pose[:3, 3] for p in past],
+                             np.float32).reshape(-1, 3))
+            self._past_arrays[ai] = arrs
+        return arrs
+
+    def _placement_f(self, p: Placement) -> Tuple[float, bool, bool]:
+        """(max persistence score, existed, mismatched) of one placement vs
+        the past window — the per-placement body of rsao__compute_
+        hysteresis_score (:116-236), which is independent across
+        placements."""
+        key = (p.uidx, p.object_idx, p.pose[:3, 3].tobytes())
+        hit = self._f_cache.get(key)
+        if hit is not None:
+            return hit
+        db = self.db
+        cls = db.objects[p.object_idx].class_idx
+        sigma = self._obj_sigma[p.object_idx]
+        pos = np.asarray(p.pose[:3, 3], np.float32)
+        n_arr = len(db.arrangements)
+        best, existed, mismatched = 0.0, False, False
+        for past_idx in range(1, self.n_past + 1):
+            ai = n_arr - (past_idx + 1)
+            if ai < 0:
+                continue
+            pu, pc, pp = self._past(ai)
+            if len(pu) == 0:
+                continue
+            same_u = pu == p.uidx
+            match = same_u & (pc == cls)
+            if (same_u & (pc != cls)).any():
+                mismatched = True
+            if match.any():
+                existed = True
+                decay = config.HYSTER_DECAY_A * past_idx + config.HYSTER_DECAY_B
+                d2 = ((pos[None, :] - pp[match]) ** 2).sum(axis=1)
+                s = (np.exp(-d2.astype(np.float64) / (2 * sigma * sigma))
+                     * config.HYSTER_BASE_SCALE * decay)
+                m = float(s.max())
+                if m > best:
+                    best = m
+        out = (best, existed, mismatched)
+        self._f_cache[key] = out
+        return out
+
+    def _hysteresis(self) -> float:
+        n = len(self.items)
+        if n == 0:
+            return 0.0
+        # plain Python: n is a handful; numpy array construction would
+        # dominate (this runs once per SA iteration)
+        total = 0.0
+        seen: Dict[int, int] = {}
+        n_dup = 0
+        for p, (s, existed, mismatched) in zip(self.items, self._f):
+            v = config.HYSTER_MISMATCH_PENALTY if mismatched else s
+            v += (config.HYSTER_EXISTED_BONUS if existed
+                  else config.HYSTER_NOVEL_BONUS)
+            total += min(v, 1.0)
+            c = seen.get(p.uidx, 0)
+            n_dup += c
+            seen[p.uidx] = c + 1
+        out = total / n - n_dup * config.HYSTER_DUPLICATE_PENALTY
+        return max(out, 0.0)
+
+    # -- coverage helpers ----------------------------------------------------
+
+    def _sal_cells(self, p: Placement) -> np.ndarray:
+        """The placement's covered SALIENT cells (static placements are
+        skipped by the coverage term, :352-356)."""
+        if self.ctx.obj_static[p.object_idx]:
+            return np.zeros(0, np.int64)
+        key = (p.object_idx, p.pose.tobytes())
+        cached = self._sal_cache.get(key)
+        if cached is None:
+            cells = placement_cells(self.ctx, self.db, p)
+            cached = cells[self.ctx.scn_valid[cells]]
+            self._sal_cache[key] = cached
+        return cached
+
+    # -- intersection helpers ------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        cap = len(self._cents)
+        while cap < need:
+            cap *= 2
+        if cap != len(self._cents):
+            c = np.zeros((cap, 3), np.float64)
+            s = np.zeros((cap, 3, 3), np.float64)
+            m = np.zeros((cap, cap), np.float64)
+            n = len(self.items)
+            c[:n] = self._cents[:n]
+            s[:n] = self._sig_invs[:n]
+            m[:n, :n] = self._pen[:n, :n]
+            self._cents, self._sig_invs, self._pen = c, s, m
+
+    @staticmethod
+    def _pair_penalties(cent: np.ndarray, sig_inv: np.ndarray,
+                        cents: np.ndarray, sig_invs: np.ndarray
+                        ) -> np.ndarray:
+        """0.5*(ea+eb) of one placement vs a batch (:248-310). The 3x3
+        quadratic forms are hand-expanded (d S d = S00 d0^2 + ... +
+        2 S01 d0 d1 + ...) — einsum's dispatch overhead dominates at these
+        sizes (n is the arrangement length, a handful)."""
+        if len(cents) == 0:
+            return np.zeros(0, np.float64)
+        # mid - cent == cents - mid == 0.5 * (cents - cent): one delta
+        # serves both quadratic forms
+        d = 0.5 * (cents - cent[None, :])
+        d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
+        q_a = (sig_inv[0, 0] * d0 * d0 + sig_inv[1, 1] * d1 * d1
+               + sig_inv[2, 2] * d2 * d2
+               + 2.0 * (sig_inv[0, 1] * d0 * d1 + sig_inv[0, 2] * d0 * d2
+                        + sig_inv[1, 2] * d1 * d2))
+        q_b = (sig_invs[:, 0, 0] * d0 * d0 + sig_invs[:, 1, 1] * d1 * d1
+               + sig_invs[:, 2, 2] * d2 * d2
+               + 2.0 * (sig_invs[:, 0, 1] * d0 * d1
+                        + sig_invs[:, 0, 2] * d0 * d2
+                        + sig_invs[:, 1, 2] * d1 * d2))
+        sc = config.ISECT_MAHALANOBIS_SCALE
+        k = -(1.0 / (2 * sc * sc))
+        ea = np.exp(k * np.sqrt(np.maximum(q_a, 0.0)))
+        eb = np.exp(k * np.sqrt(np.maximum(q_b, 0.0)))
+        return 0.5 * (ea + eb)
+
+    # -- mutators --------------------------------------------------------
+
+    def add(self, p: Placement) -> None:
+        n = len(self.items)
+        self._grow(n + 1)
+        cells = self._sal_cells(p)
+        if len(cells):
+            self._n_cov += int((self._cnt[cells] == 0).sum())
+            self._cnt[cells] += 1
+        cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
+        self._cents[n] = cent
+        self._sig_invs[n] = sig_inv
+        pen = self._pair_penalties(np.asarray(cent), np.asarray(sig_inv),
+                                   self._cents[:n], self._sig_invs[:n])
+        self._pen[n, :n] = pen
+        self._pen[:n, n] = pen
+        self._f.append(self._placement_f(p))
+        self.items.append(p)
+
+    def remove_swap(self, idx: int) -> Placement:
+        """Swap-remove: items[idx] <- items[-1], pop (the reference's
+        msh_array remove, :713-716)."""
+        n = len(self.items)
+        removed = self.items[idx]
+        cells = self._sal_cells(removed)
+        if len(cells):
+            self._cnt[cells] -= 1
+            self._n_cov -= int((self._cnt[cells] == 0).sum())
+        last = n - 1
+        if idx != last:
+            self.items[idx] = self.items[last]
+            self._f[idx] = self._f[last]
+            self._cents[idx] = self._cents[last]
+            self._sig_invs[idx] = self._sig_invs[last]
+            self._pen[idx, :n] = self._pen[last, :n]
+            self._pen[:n, idx] = self._pen[:n, last]
+            self._pen[idx, idx] = 0.0
+        self.items.pop()
+        self._f.pop()
+        self._pen[last, :n] = 0.0
+        self._pen[:n, last] = 0.0
+        return removed
+
+    def set(self, idx: int, p: Placement) -> None:
+        """Replace items[idx] in place (move/replace/swap actions)."""
+        old = self.items[idx]
+        old_cells = self._sal_cells(old)
+        if len(old_cells):
+            self._cnt[old_cells] -= 1
+            self._n_cov -= int((self._cnt[old_cells] == 0).sum())
+        cells = self._sal_cells(p)
+        if len(cells):
+            self._n_cov += int((self._cnt[cells] == 0).sum())
+            self._cnt[cells] += 1
+        cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
+        self._cents[idx] = cent
+        self._sig_invs[idx] = sig_inv
+        n = len(self.items)
+        pen = self._pair_penalties(np.asarray(cent), np.asarray(sig_inv),
+                                   self._cents[:n], self._sig_invs[:n])
+        pen[idx] = 0.0
+        self._pen[idx, :n] = pen
+        self._pen[:n, idx] = pen
+        self._f[idx] = self._placement_f(p)
+        self.items[idx] = p
+
+    def rebuild(self, arrangement: Sequence[Placement]) -> None:
+        """Reset to a fresh arrangement (SA random restart)."""
+        while self.items:
+            self.remove_swap(len(self.items) - 1)
+        for p in arrangement:
+            self.add(p)
+
+    # -- energy ----------------------------------------------------------
+
+    def coverage(self) -> float:
+        if self.ctx.n_scn_valid == 0:
+            return 0.0
+        return self._n_cov / self.ctx.n_scn_valid
+
+    def intersection(self) -> float:
+        n = len(self.items)
+        if n == 0:
+            return 1.0
+        return 1.0 - float(self._pen[:n, :n].max()) if n > 1 else 1.0
+
+    def geometry(self) -> float:
+        if not self.items:
+            return 0.0
+        return sum(p.score for p in self.items) / len(self.items)
+
+    def score(self) -> float:
+        """scene_alignment_score of the current items (:376-402), from the
+        incremental state; identical term order and weight gating."""
+        w_cov, w_geom, w_isect, w_hyst = self.weights
+        s = 0.0
+        if w_geom > 0:
+            s += w_geom * self.geometry()
+        if w_isect > 0:
+            s += w_isect * self.intersection()
+        if w_hyst > 0:
+            s += w_hyst * self._hysteresis()
+        if w_cov > 0:
+            s += w_cov * self.coverage()
+        return s / self.wsum
+
+    # -- batched candidate scoring (greedy) --------------------------------
+
+    def score_with_each(self, proposals: Sequence[Placement]) -> np.ndarray:
+        """score() of (items + [p]) for EVERY proposal p, in one vectorized
+        pass — the greedy inner loop (:1012-1020) without per-candidate
+        energy recomputation."""
+        P = len(proposals)
+        n = len(self.items)
+        w_cov, w_geom, w_isect, w_hyst = self.weights
+        out = np.zeros(P, np.float64)
+
+        if w_geom > 0:
+            base_sum = float(np.sum([p.score for p in self.items])) if n \
+                else 0.0
+            geo = (base_sum + np.array([p.score for p in proposals],
+                                       np.float64)) / (n + 1)
+            out += w_geom * geo
+
+        if w_isect > 0:
+            base_max = float(self._pen[:n, :n].max()) if n > 1 else 0.0
+            pen_new = np.zeros(P, np.float64)
+            if n:
+                for j, p in enumerate(proposals):
+                    cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
+                    pr = self._pair_penalties(
+                        np.asarray(cent), np.asarray(sig_inv),
+                        self._cents[:n], self._sig_invs[:n])
+                    pen_new[j] = pr.max()
+            out += w_isect * (1.0 - np.maximum(base_max, pen_new))
+
+        if w_hyst > 0:
+            uids = np.array([p.uidx for p in self.items])
+            _, cnts = np.unique(uids, return_counts=True) if n else \
+                (None, np.zeros(0, np.int64))
+            base_dup = int((cnts * (cnts - 1) // 2).sum())
+            base_f = 0.0
+            for f in self._f:
+                s_, ex, mm = f
+                v = config.HYSTER_MISMATCH_PENALTY if mm else s_
+                v += (config.HYSTER_EXISTED_BONUS if ex
+                      else config.HYSTER_NOVEL_BONUS)
+                base_f += min(v, 1.0)
+            fp = np.zeros(P, np.float64)
+            dup_add = np.zeros(P, np.int64)
+            for j, p in enumerate(proposals):
+                s_, ex, mm = self._placement_f(p)
+                v = config.HYSTER_MISMATCH_PENALTY if mm else s_
+                v += (config.HYSTER_EXISTED_BONUS if ex
+                      else config.HYSTER_NOVEL_BONUS)
+                fp[j] = min(v, 1.0)
+                if n:
+                    dup_add[j] = int((uids == p.uidx).sum())
+            tot = ((base_f + fp) / (n + 1)
+                   - (base_dup + dup_add) * config.HYSTER_DUPLICATE_PENALTY)
+            out += w_hyst * np.maximum(tot, 0.0)
+
+        if w_cov > 0 and self.ctx.n_scn_valid > 0:
+            delta = np.zeros(P, np.int64)
+            for j, p in enumerate(proposals):
+                cells = self._sal_cells(p)
+                if len(cells):
+                    delta[j] = int((self._cnt[cells] == 0).sum())
+            out += w_cov * (self._n_cov + delta) / self.ctx.n_scn_valid
+
+        return out / self.wsum
+
+
+# ---------------------------------------------------------------------------
 # Greedy construction (rsao_greedy_step, :937-1035)
 # ---------------------------------------------------------------------------
 
-def greedy_step(ctx: EnergyContext, db: Rsdb, scene_idx: int,
-                opts: config.ArrangementOpts) -> float:
+def _collect_proposals(ctx: EnergyContext, db: Rsdb,
+                       scene_idx: int) -> List[Placement]:
     poses = db.proposed_poses[scene_idx]
     scores = db.proposed_scores[scene_idx]
     arrangement = db.arrangements[scene_idx]
-    weights = opts.energy_weights_greedy
-
     max_uidx = db.max_dynamic_uidx()
     used = {p.uidx for p in arrangement}
-
     proposals: List[Placement] = []
     for obj_idx in range(len(poses)):
         if ctx.obj_static[obj_idx] or poses[obj_idx] is None:
             continue
         uidx = db.objects[obj_idx].uidx
+        # duplicate-uidx remap (greedy :996-1006)
+        if uidx in used:
+            uidx = max_uidx + 1
         for k in range(len(poses[obj_idx])):
             proposals.append(Placement(
                 uidx=uidx, arrangement_idx=scene_idx, object_idx=obj_idx,
                 pose_idx=k, pose=poses[obj_idx][k],
                 score=float(scores[obj_idx][k])))
-    if not proposals:
-        return scene_alignment_score(ctx, db, arrangement, weights,
-                                     opts.n_past_steps)
-    # duplicate-uidx remap (greedy :996-1006)
-    for p in proposals:
-        if p.uidx in used:
-            p.uidx = max_uidx + 1
+    return proposals
 
+
+def greedy_step(ctx: EnergyContext, db: Rsdb, scene_idx: int,
+                opts: config.ArrangementOpts,
+                state: "FastEnergy | None" = None) -> float:
+    """One greedy round: score every proposal appended to the arrangement
+    (one batched pass), add the best improving one. When ``state`` is given
+    it carries the incremental energy across rounds (greedy_optimize's
+    path); otherwise a fresh one is built."""
+    arrangement = db.arrangements[scene_idx]
+    weights = opts.energy_weights_greedy
+    if state is None:
+        state = FastEnergy(ctx, db, scene_idx, weights, opts.n_past_steps,
+                           arrangement)
+    proposals = _collect_proposals(ctx, db, scene_idx)
+    if not proposals:
+        return state.score()
+
+    cand_scores = state.score_with_each(proposals)
+    # replicate the reference's sequential "improves by > 1e-6" selection
+    # (ties keep the earliest strictly-improving candidate)
     best_score, best_idx = 0.0, -1
-    for i, p in enumerate(proposals):
-        cand = list(arrangement) + [p]
-        s = scene_alignment_score(ctx, db, cand, weights, opts.n_past_steps)
-        if s - best_score > 1e-6:
-            best_score, best_idx = s, i
+    for i in range(len(proposals)):
+        if cand_scores[i] - best_score > 1e-6:
+            best_score, best_idx = float(cand_scores[i]), i
+    state.add(proposals[best_idx])
     arrangement.append(proposals[best_idx])
-    return scene_alignment_score(ctx, db, arrangement, weights,
-                                 opts.n_past_steps)
+    return state.score()
 
 
 def greedy_optimize(ctx: EnergyContext, db: Rsdb, scene_idx: int,
@@ -342,11 +726,12 @@ def greedy_optimize(ctx: EnergyContext, db: Rsdb, scene_idx: int,
     keep adding the single best proposal until the score stops improving
     (pop the last placement if it made things worse)."""
     weights = opts.energy_weights_greedy
-    score = scene_alignment_score(ctx, db, db.arrangements[scene_idx],
-                                  weights, opts.n_past_steps)
+    state = FastEnergy(ctx, db, scene_idx, weights, opts.n_past_steps,
+                       db.arrangements[scene_idx])
+    score = state.score()
     while True:
         prev = score
-        score = greedy_step(ctx, db, scene_idx, opts)
+        score = greedy_step(ctx, db, scene_idx, opts, state=state)
         if prev - score > 1e-6:
             db.arrangements[scene_idx].pop()
             break
@@ -358,27 +743,33 @@ def greedy_optimize(ctx: EnergyContext, db: Rsdb, scene_idx: int,
 # Simulated annealing (rsao_simulated_annealing, :789-935)
 # ---------------------------------------------------------------------------
 
-def _find_max_uidx(db: Rsdb) -> Tuple[int, int, int]:
+def _find_max_uidx(db: Rsdb, obj_static=None) -> Tuple[int, int, int]:
     max_uidx, si, pi = 0, -1, -1
+    static = (db.is_object_static if obj_static is None
+              else lambda i: obj_static[i])
     for s, arr in enumerate(db.arrangements):
         for j, p in enumerate(arr):
-            if not db.is_object_static(p.object_idx) and p.uidx > max_uidx:
+            if p.uidx > max_uidx and not static(p.object_idx):
                 max_uidx, si, pi = p.uidx, s, j
     return max_uidx, si, pi
 
 
-def _linearize_ids(db: Rsdb) -> None:
+def _linearize_ids(db: Rsdb, obj_static=None) -> bool:
     """rsao__linearize_ids (:434-465): keep the global max dynamic uidx at
-    most 1 above the second largest."""
-    max_uidx, si, pi = _find_max_uidx(db)
+    most 1 above the second largest. Returns True when an arrangement was
+    mutated (FastEnergy's past-arrangement caches must refresh)."""
+    max_uidx, si, pi = _find_max_uidx(db, obj_static)
     second = 0
+    static = (db.is_object_static if obj_static is None
+              else lambda i: obj_static[i])
     for arr in db.arrangements:
         for p in arr:
-            if (not db.is_object_static(p.object_idx)
-                    and second < p.uidx < max_uidx):
+            if second < p.uidx < max_uidx and not static(p.object_idx):
                 second = p.uidx
     if max_uidx - second > 1 and si >= 0:
         db.arrangements[si][pi].uidx = second + 1
+        return True
+    return False
 
 
 def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
@@ -387,50 +778,59 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
     poses = db.proposed_poses[scene_idx]
     pscores = db.proposed_scores[scene_idx]
     weights = opts.energy_weights_sa
-    cur = [dataclasses.replace(p) for p in db.arrangements[scene_idx]]
+    state = FastEnergy(ctx, db, scene_idx, weights, opts.n_past_steps,
+                       [dataclasses.replace(p)
+                        for p in db.arrangements[scene_idx]])
 
     likelihoods = np.asarray(opts.sa_action_likelihoods, np.float64)
-    if likelihoods[0] < 0.001 and len(cur) < 2:
+    if likelihoods[0] < 0.001 and len(state.items) < 2:
         return
 
-    def energy(arr):
-        return scene_alignment_score(ctx, db, arr, weights, opts.n_past_steps)
-
-    init_score = energy(cur)
+    init_score = state.score()
     prev_score = init_score
     max_score = init_score
 
-    def commit():
-        db.arrangements[scene_idx] = [dataclasses.replace(p) for p in cur]
+    # per-object proposal translations, precomputed for the swap/replace
+    # distance gates (sliced per action in the reference, :560,:753)
+    trans = [None if poses[i] is None or len(poses[i]) == 0
+             else np.ascontiguousarray(
+                 np.asarray(poses[i], np.float32)[:, :3, 3])
+             for i in range(len(poses))]
 
-    dynamic_ids = [i for i in range(len(db.objects))
-                   if not ctx.obj_static[i]]
+    def commit():
+        db.arrangements[scene_idx] = [dataclasses.replace(p)
+                                      for p in state.items]
+
+    # action pdfs depend only on whether swap is enabled (:832-841)
+    pdf_full = list(mshrng.distrib2pdf(likelihoods))
+    lk_noswap = likelihoods.copy()
+    lk_noswap[3] = 0.0
+    pdf_noswap = list(mshrng.distrib2pdf(lk_noswap))
 
     for it in range(opts.n_sa_iter):
         # random restart (:821-829)
         if rand.next_f32() < config.SA_RESTART_PROB:
-            cur = [dataclasses.replace(p) for p in db.arrangements[scene_idx]]
+            state.rebuild([dataclasses.replace(p)
+                           for p in db.arrangements[scene_idx]])
 
         # action selection (:832-841)
-        lk = likelihoods.copy()
-        if len(cur) < 2:
-            lk[3] = 0.0  # swap
-        pdf = mshrng.distrib2pdf(lk)
+        pdf = pdf_noswap if len(state.items) < 2 else pdf_full
         action = mshrng.pdfsample_linear(pdf, rand.next_f32())
 
         undo = None
         if action == 0:      # ADD (:628-705)
-            undo = _apply_add(db, ctx, scene_idx, rand, cur, poses, pscores)
+            undo = _apply_add(db, ctx, scene_idx, rand, state, poses, pscores)
         elif action == 1:    # REMOVE (:707-727)
-            undo = _apply_remove(rand, cur)
+            undo = _apply_remove(rand, state)
         elif action == 2:    # REPLACE (:729-787)
-            undo = _apply_replace(db, ctx, scene_idx, rand, cur, poses, pscores)
+            undo = _apply_replace(db, ctx, scene_idx, rand, state, poses,
+                                  pscores, trans)
         elif action == 3:    # SWAP (:527-626)
-            undo = _apply_swap(rand, cur, poses, pscores)
+            undo = _apply_swap(rand, state, poses, pscores, trans)
         elif action == 4:    # MOVE (:494-525)
-            undo = _apply_move(rand, cur, poses, pscores)
+            undo = _apply_move(rand, state, poses, pscores)
 
-        cur_score = energy(cur)
+        cur_score = state.score()
         if cur_score < 0:
             commit()
             break
@@ -447,50 +847,63 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
         else:
             if undo is not None:
                 undo()
-        _linearize_ids(db)
+        if _linearize_ids(db, ctx.obj_static):
+            state.invalidate_past()
 
     print(f"SIMULATED_ANNEALING: Done. | Score: {init_score:f} -> {max_score:f}")
 
 
-def _apply_move(rand, cur, poses, pscores):
+def _repose(p: Placement, pose, score: float, k: int) -> Placement:
+    """dataclasses.replace(p, pose=..., score=..., pose_idx=...) without
+    the ~20 us replace() machinery (SA calls this several times per
+    iteration)."""
+    return Placement(uidx=p.uidx, arrangement_idx=p.arrangement_idx,
+                     object_idx=p.object_idx, pose_idx=k, pose=pose,
+                     score=score)
+
+
+def _apply_move(rand, state: FastEnergy, poses, pscores):
+    cur = state.items
     n = len(cur)
     if n == 0:
         return None
     idx = rand.next_u32() % n
-    old = dataclasses.replace(cur[idx])
+    old = cur[idx]
     obj_idx = cur[idx].object_idx
     if poses[obj_idx] is None or len(poses[obj_idx]) == 0:
         return None
     k = rand.next_u32() % len(poses[obj_idx])
-    cur[idx] = dataclasses.replace(cur[idx], pose=poses[obj_idx][k],
-                                   score=float(pscores[obj_idx][k]),
-                                   pose_idx=k)
+    state.set(idx, _repose(cur[idx], poses[obj_idx][k],
+                           float(pscores[obj_idx][k]), k))
 
     def undo():
-        cur[idx] = old
+        state.set(idx, old)
     return undo
 
 
-def _apply_swap(rand, cur, poses, pscores):
+def _apply_swap(rand, state: FastEnergy, poses, pscores, trans):
     """Swap: re-draw poses for two placements, each near the other's
     position (:527-626)."""
+    cur = state.items
     n = len(cur)
     ia = rand.next_u32() % n
     ib = ia
     while ib == ia:
         ib = rand.next_u32() % n
     a, b = cur[ia], cur[ib]
-    olds = (dataclasses.replace(a), dataclasses.replace(b))
+    olds = (a, b)
 
     def pick_near(obj_idx, target_pos):
-        cand = poses[obj_idx]
-        if cand is None or len(cand) == 0:
+        t = trans[obj_idx]
+        if t is None:
             return None
-        d = np.linalg.norm(cand[:, :3, 3] - target_pos[None, :], axis=1)
+        diff = t - target_pos[None, :]
+        d = np.sqrt((diff * diff).sum(axis=1))
         thr = config.SWAP_DIST_THRESHOLD
-        if thr < d.min():
-            thr = 2.0 * d.min()
-        idxs = np.where(d < thr)[0]
+        dmin = d.min()
+        if thr < dmin:
+            thr = 2.0 * dmin
+        idxs = np.nonzero(d < thr)[0]
         if len(idxs) == 0:
             return None
         return int(idxs[rand.next_u32() % len(idxs)])
@@ -498,23 +911,22 @@ def _apply_swap(rand, cur, poses, pscores):
     ka = pick_near(a.object_idx, b.pose[:3, 3])
     kb = pick_near(b.object_idx, a.pose[:3, 3])
     if ka is not None:
-        cur[ia] = dataclasses.replace(a, pose=poses[a.object_idx][ka],
-                                      score=float(pscores[a.object_idx][ka]),
-                                      pose_idx=ka)
+        state.set(ia, _repose(a, poses[a.object_idx][ka],
+                              float(pscores[a.object_idx][ka]), ka))
     if kb is not None:
-        cur[ib] = dataclasses.replace(b, pose=poses[b.object_idx][kb],
-                                      score=float(pscores[b.object_idx][kb]),
-                                      pose_idx=kb)
+        state.set(ib, _repose(b, poses[b.object_idx][kb],
+                              float(pscores[b.object_idx][kb]), kb))
 
     def undo():
-        cur[ia], cur[ib] = olds
+        state.set(ia, olds[0])
+        state.set(ib, olds[1])
     return undo
 
 
-def _apply_add(db, ctx, scene_idx, rand, cur, poses, pscores):
+def _apply_add(db, ctx, scene_idx, rand, state: FastEnergy, poses, pscores):
     """Add: uniform dynamic object, pose by normalized-score pdf
     (:628-705)."""
-    max_uidx, _, _ = _find_max_uidx(db)
+    max_uidx, _, _ = _find_max_uidx(db, ctx.obj_static)
     used = {p.uidx for p in db.arrangements[scene_idx]}
 
     lik = np.array([0.0 if ctx.obj_static[i] else 1.0
@@ -533,58 +945,67 @@ def _apply_add(db, ctx, scene_idx, rand, cur, poses, pscores):
     uidx = db.objects[obj_idx].uidx
     if uidx in used:
         uidx = max_uidx + 1
-    cur.append(Placement(uidx=uidx, arrangement_idx=scene_idx,
-                         object_idx=obj_idx, pose_idx=k,
-                         pose=poses[obj_idx][k],
-                         score=float(pscores[obj_idx][k])))
+    state.add(Placement(uidx=uidx, arrangement_idx=scene_idx,
+                        object_idx=obj_idx, pose_idx=k,
+                        pose=poses[obj_idx][k],
+                        score=float(pscores[obj_idx][k])))
 
     def undo():
-        cur.pop()
+        state.remove_swap(len(state.items) - 1)
     return undo
 
 
-def _apply_remove(rand, cur):
+def _apply_remove(rand, state: FastEnergy):
     """Remove: swap-remove a random placement (:707-727). The reference's
     revert reads one-past-end of the shrunk array, which in practice
     restores the removed element (it still sits in the buffer slot); we
     implement the intended swap-remove + restore."""
-    n = len(cur)
+    n = len(state.items)
     if n == 0:
         return None
     idx = rand.next_u32() % n
-    removed = cur[idx]
-    cur[idx] = cur[n - 1]
-    cur.pop()
+    removed = state.remove_swap(idx)
 
     def undo():
         # invert the swap-remove: push the (moved) last element back to the
         # tail and restore the removed one at its slot
-        if idx == len(cur):          # removed element WAS the last one
-            cur.append(removed)
+        if idx == len(state.items):  # removed element WAS the last one
+            state.add(removed)
         else:
-            cur.append(cur[idx])
-            cur[idx] = removed
+            state.add(state.items[idx])
+            state.set(idx, removed)
     return undo
 
 
-def _apply_replace(db, ctx, scene_idx, rand, cur, poses, pscores):
+def _apply_replace(db, ctx, scene_idx, rand, state: FastEnergy, poses,
+                   pscores, trans):
     """Replace: swap a placement for a score-weighted nearby proposal of
     any dynamic object (:729-787)."""
+    cur = state.items
     n = len(cur)
     if n == 0:
         return None
     idx = rand.next_u32() % n
-    old = dataclasses.replace(cur[idx])
+    old = cur[idx]
     old_pos = old.pose[:3, 3]
     cand = []
-    for i in range(len(db.objects)):
-        if ctx.obj_static[i] or poses[i] is None:
+    for i in range(len(trans)):
+        if ctx.obj_static[i] or trans[i] is None:
             continue
-        for k in range(len(poses[i])):
-            if np.linalg.norm(poses[i][k][:3, 3] - old_pos) < config.REPLACE_DIST_THRESHOLD:
-                cand.append((i, k, float(pscores[i][k])))
-            if len(cand) >= 1024:
-                break
+        diff = trans[i] - old_pos[None, :]
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        match = dist < config.REPLACE_DIST_THRESHOLD
+        if len(cand) + int(match.sum()) < 1024:
+            for k in np.nonzero(match)[0]:
+                cand.append((i, int(k), float(pscores[i][k])))
+        else:
+            # cap reachable: replicate the reference's per-k cap check
+            # (1024 cap tested after EVERY pose, matched or not, :760-764)
+            for k in range(len(poses[i])):
+                if match[k]:
+                    cand.append((i, k, float(pscores[i][k])))
+                if len(cand) >= 1024:
+                    break
     if not cand:
         return None
     sc = np.array([c[2] for c in cand], np.float64)
@@ -592,10 +1013,11 @@ def _apply_replace(db, ctx, scene_idx, rand, cur, poses, pscores):
     sel = mshrng.pdfsample_linear(pdf, rand.next_f32())
     sel = min(sel, len(cand) - 1)
     i, k, s = cand[sel]
-    cur[idx] = Placement(uidx=db.objects[i].uidx,
-                         arrangement_idx=len(db.arrangements),
-                         object_idx=i, pose_idx=k, pose=poses[i][k], score=s)
+    state.set(idx, Placement(uidx=db.objects[i].uidx,
+                             arrangement_idx=len(db.arrangements),
+                             object_idx=i, pose_idx=k, pose=poses[i][k],
+                             score=s))
 
     def undo():
-        cur[idx] = old
+        state.set(idx, old)
     return undo

@@ -168,8 +168,11 @@ def run(input_db: str, output_db: str,
         opts: config.ArrangementOpts | None = None,
         verbose: bool = False) -> rsdbio.Rsdb:
     opts = opts or config.ArrangementOpts()
+    timings = {}
+    t_run = time.perf_counter()
     db = database.load_database(input_db, load_pointclouds=True,
                                 verbose=verbose)
+    timings["io_load"] = time.perf_counter() - t_run
 
     # load per-scene pose proposals (main.cpp:290-297)
     lo = opts.lower_idx
@@ -199,19 +202,22 @@ def run(input_db: str, output_db: str,
         opts.n_past_steps = min(len(db.arrangements) - 1, opts.n_past_steps)
         ctx = energy.build_context(db, time_idx, db.proposed_poses[time_idx],
                                    db.proposed_scores[time_idx])
-        print(f"SCENE_ANALYSIS: done in {time.perf_counter() - t0:f}s")
+        timings["scene_analysis"] = time.perf_counter() - t0
+        print(f"SCENE_ANALYSIS: done in {timings['scene_analysis']:f}s")
 
     if ctx is not None and not opts.just_simulated_annealing:
         t0 = time.perf_counter()
         energy.greedy_optimize(ctx, db, time_idx, opts)
+        timings["greedy"] = time.perf_counter() - t0
         print(f"ARRANGEMENT_OPTIMIZATION: Greedy estimation finished in "
-              f"{time.perf_counter() - t0:f}s.")
+              f"{timings['greedy']:f}s.")
 
     if ctx is not None and not opts.just_greedy_initialization:
         t0 = time.perf_counter()
         energy.simulated_annealing(ctx, db, time_idx, opts)
+        timings["simulated_annealing"] = time.perf_counter() - t0
         print(f"ARRANGEMENT_OPTIMIZATION: Optimization finished in "
-              f"{time.perf_counter() - t0:f}s.")
+              f"{timings['simulated_annealing']:f}s.")
 
     t0 = time.perf_counter()
     add_static_objects(db, time_idx)
@@ -220,21 +226,26 @@ def run(input_db: str, output_db: str,
 
     t0 = time.perf_counter()
     refine_alignment_to_scene(db, time_idx, skip_static=True)
+    timings["refine_to_scene"] = time.perf_counter() - t0
     print(f"ARRANGEMENT_OPTIMIZATION: Refining optimized poses done in "
-          f"{time.perf_counter() - t0:f}s.")
+          f"{timings['refine_to_scene']:f}s.")
 
     t0 = time.perf_counter()
     scene = db.scenes[time_idx].cloud
     labels_ops.arrangement_to_labels(db, scene, db.arrangements[time_idx])
     planes.relabel_walls_and_floors(db, scene, plane_models)
     labels_ops.smooth_labels(db, scene)
+    timings["label_transfer"] = time.perf_counter() - t0
     print(f"LABEL_TRANSFER: Segmentation finished in "
-          f"{time.perf_counter() - t0:f}s.")
+          f"{timings['label_transfer']:f}s.")
 
     t0 = time.perf_counter()
     augment_database(db, time_idx)
+    timings["augment"] = time.perf_counter() - t0
     print(f"LABEL_TRANSFER: Database augmentation finished in "
-          f"{time.perf_counter() - t0:f}s.")
+          f"{timings['augment']:f}s.")
+    timings["total"] = time.perf_counter() - t_run
+    db.last_segment_transfer_timings = timings
 
     if output_db:
         db.model_folder = paths.model_folder_name(output_db)

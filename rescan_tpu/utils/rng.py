@@ -13,52 +13,52 @@ from __future__ import annotations
 
 import numpy as np
 
-_MUL = np.uint64(0x5851F42D4C957F2D)
-_M1 = np.uint64(0xFF51AFD7ED558CCD)
-_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+_MUL = 0x5851F42D4C957F2D
+_M1 = 0xFF51AFD7ED558CCD
+_M2 = 0xC4CEB9FE1A85EC53
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+_MASK32 = 0xFFFFFFFF
 
 
-def _murmur3_avalanche64(h: np.uint64) -> np.uint64:
-    h = np.uint64(h)
-    h ^= h >> np.uint64(33)
-    h *= _M1
-    h ^= h >> np.uint64(33)
-    h *= _M2
-    h ^= h >> np.uint64(33)
+def _murmur3_avalanche64(h: int) -> int:
+    h &= _MASK64
+    h ^= h >> 33
+    h = (h * _M1) & _MASK64
+    h ^= h >> 33
+    h = (h * _M2) & _MASK64
+    h ^= h >> 33
     return h
 
 
 class MshRand:
-    """Bit-exact replica of msh_rand (PCG32 with Gustavsson seeding)."""
+    """Bit-exact replica of msh_rand (PCG32 with Gustavsson seeding).
+    Pure Python integer arithmetic — called per SA iteration, so the
+    numpy-scalar version's ~7 us/draw overhead matters."""
 
     __slots__ = ("state", "inc")
 
     def __init__(self, seed: int):
-        with np.errstate(over="ignore"):
-            value = np.uint64(((seed & 0xFFFFFFFF) << 1) | 1)
-            value = _murmur3_avalanche64(value)
-            self.state = np.uint64(0)
-            self.inc = np.uint64((int(value) << 1) & 0xFFFFFFFFFFFFFFFF) | np.uint64(1)
-            self.next_u32()
-            self.state = np.uint64(
-                (int(self.state) + int(_murmur3_avalanche64(value))) & 0xFFFFFFFFFFFFFFFF
-            )
-            self.next_u32()
+        value = _murmur3_avalanche64(((seed & _MASK32) << 1) | 1)
+        self.state = 0
+        self.inc = ((value << 1) & _MASK64) | 1
+        self.next_u32()
+        self.state = (self.state + _murmur3_avalanche64(value)) & _MASK64
+        self.next_u32()
 
     def next_u32(self) -> int:
-        with np.errstate(over="ignore"):
-            old = self.state
-            self.state = old * _MUL + self.inc
-            xorshifted = np.uint32(((old >> np.uint64(18)) ^ old) >> np.uint64(27))
-            rot = np.uint32(old >> np.uint64(59))
-            r = int(rot)
-            return int((int(xorshifted) >> r) | (int(xorshifted) << ((-r) & 31)) & 0xFFFFFFFF) & 0xFFFFFFFF
+        old = self.state
+        self.state = (old * _MUL + self.inc) & _MASK64
+        xorshifted = (((old >> 18) ^ old) >> 27) & _MASK32
+        rot = old >> 59
+        return ((xorshifted >> rot)
+                | (xorshifted << ((-rot) & 31))) & _MASK32
 
     def next_f32(self) -> float:
-        # float in [0, 1): bitcast(127 << 23 | value >> 9) - 1.0 (msh_std.h:1412-1421)
-        value = self.next_u32()
-        bits = np.array([(127 << 23) | (value >> 9)], dtype=np.uint32)
-        return float(bits.view(np.float32)[0]) - 1.0
+        # float in [0, 1): bitcast(127 << 23 | value >> 9) - 1.0
+        # (msh_std.h:1412-1421). The bitcast yields 1.0 + m * 2^-23 with a
+        # 23-bit mantissa m — exact in f32 AND f64, so the quotient below
+        # is bit-identical to the reference's bitcast-and-subtract.
+        return (self.next_u32() >> 9) * (1.0 / 8388608.0)
 
     def next_range(self, lo: int, hi: int) -> int:
         # msh_rand_range (msh_std.h:1464-1470): inclusive range via float scale
