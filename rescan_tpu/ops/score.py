@@ -129,14 +129,15 @@ def prep_points(obj_pts: np.ndarray, obj_nrm: np.ndarray
     return pts, nrm, mask
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _score_multi(grid, pts_all: jax.Array, nrm_all: jax.Array,
-                 mask_all: jax.Array, hyps: jax.Array, owner: jax.Array,
-                 radius, sigma) -> jax.Array:
+def _score_multi_impl(grid, pts_all: jax.Array, nrm_all: jax.Array,
+                      mask_all: jax.Array, hyps: jax.Array, owner: jax.Array,
+                      radius, sigma) -> jax.Array:
     """Score h hypotheses whose object points come from pts_all[owner[h]].
 
     pts_all/nrm_all: (R, Pp, 3); mask_all: (R, Pp); hyps: (h, 4, 4);
-    owner: (h,) int32. Returns (h,) scores.
+    owner: (h,) int32. Returns (h,) scores. (Unjitted body — the
+    single-device path jits it below; parallel/mesh.py shard_maps it over
+    the hypothesis axis.)
     """
     R = hyps[:, :3, :3]
     t = hyps[:, :3, 3]
@@ -164,6 +165,9 @@ def _score_multi(grid, pts_all: jax.Array, nrm_all: jax.Array,
     return jnp.sum(per_pt, axis=1) / cnt
 
 
+_score_multi = jax.jit(_score_multi_impl)
+
+
 class ScoreStream:
     """Asynchronous scoring of (object points, hypotheses) requests.
 
@@ -175,12 +179,17 @@ class ScoreStream:
     ``submit`` dispatches launches immediately (JAX async dispatch keeps
     the device busy while the host prepares the next request);
     ``collect`` blocks and returns per-request score arrays.
+
+    ``mesh``: an optional device mesh — launches then shard the hypothesis
+    axis across all mesh devices (parallel/mesh.py score_multi_sharded),
+    with the scene index and object point tables replicated.
     """
 
-    def __init__(self, grid, radius: float, sigma: float):
+    def __init__(self, grid, radius: float, sigma: float, mesh=None):
         self.grid = grid
         self.radius = radius
         self.sigma = sigma
+        self.mesh = mesh
         self._groups = {}   # Pp -> dict(pts=[], owners=[], hyps=[], reqs=[])
         self._results = []  # request idx -> (group, start, count)
         self._n_req = 0
@@ -223,6 +232,9 @@ class ScoreStream:
                 np.zeros((0, 4, 4), np.float32)
             h_total = len(hyps_all)
             h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
+            if self.mesh is not None:
+                nd = int(self.mesh.devices.size)
+                h_slice = max((h_slice // nd) * nd, nd)
 
             pts_j = jnp.asarray(pts_all)
             nrm_j = jnp.asarray(nrm_all)
@@ -239,9 +251,17 @@ class ScoreStream:
                 mats_p[:len(sl)] = sl
                 own_p = np.zeros(h_slice, np.int32)
                 own_p[:len(own)] = own
-                parts.append((len(sl), _score_multi(
-                    self.grid, pts_j, nrm_j, mask_j, jnp.asarray(mats_p),
-                    jnp.asarray(own_p), self.radius, self.sigma)))
+                if self.mesh is not None:
+                    from ..parallel import mesh as pmesh
+                    s = pmesh.score_multi_sharded(
+                        self.mesh, self.grid, pts_j, nrm_j, mask_j,
+                        jnp.asarray(mats_p), jnp.asarray(own_p),
+                        self.radius, self.sigma)
+                else:
+                    s = _score_multi(self.grid, pts_j, nrm_j, mask_j,
+                                     jnp.asarray(mats_p), jnp.asarray(own_p),
+                                     self.radius, self.sigma)
+                parts.append((len(sl), s))
             pending.append((g, h_total, parts))
 
         for g, h_total, parts in pending:
@@ -260,10 +280,10 @@ class ScoreStream:
 
 def score_requests(grid, requests: Sequence[Tuple[np.ndarray, np.ndarray,
                                                   np.ndarray]],
-                   radius, sigma) -> List[np.ndarray]:
+                   radius, sigma, mesh=None) -> List[np.ndarray]:
     """Score a batch of (obj_pts, obj_nrm, hyps) requests; returns one
     (H_i,) score array per request. See ScoreStream for the batching."""
-    stream = ScoreStream(grid, radius, sigma)
+    stream = ScoreStream(grid, radius, sigma, mesh=mesh)
     for pts, nrm, hyps in requests:
         stream.submit(pts, nrm, hyps)
     return stream.collect()
@@ -271,9 +291,11 @@ def score_requests(grid, requests: Sequence[Tuple[np.ndarray, np.ndarray,
 
 def score_hypotheses_bucketed(grid, obj_pts: np.ndarray,
                               obj_nrm: np.ndarray, hyps: np.ndarray,
-                              radius, sigma, chunk: int = 2048) -> np.ndarray:
+                              radius, sigma, chunk: int = 2048,
+                              mesh=None) -> np.ndarray:
     """Single-request convenience wrapper over score_requests."""
-    return score_requests(grid, [(obj_pts, obj_nrm, hyps)], radius, sigma)[0]
+    return score_requests(grid, [(obj_pts, obj_nrm, hyps)], radius, sigma,
+                          mesh=mesh)[0]
 
 
 def grid_search_hypotheses(bbox_min: np.ndarray, bbox_max: np.ndarray,

@@ -17,7 +17,7 @@ hypothesis workload). No custom transport: XLA lowers the psum onto ICI.
 
 from __future__ import annotations
 
-
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -39,8 +39,46 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
+def make_flat_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D ("dp",) mesh over the first n_devices devices — the
+    production stages' hypothesis/batch axis."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("dp",))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_score_multi(mesh: Mesh):
+    """shard_map'd ops.score._score_multi_impl: hypotheses + owners split
+    over every mesh device (row-major over all axes), scene index and
+    object tables replicated. Cached per mesh so launches reuse the
+    compiled program."""
+    from ..ops.score import _score_multi_impl
+
+    axes = tuple(mesh.axis_names)
+
+    def fn(grid_, pts_all, nrm_all, mask_all, hyps, owner, radius, sigma):
+        return _score_multi_impl(grid_, pts_all, nrm_all, mask_all, hyps,
+                                 owner, radius, sigma)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axes), P(axes), P(), P()),
+        out_specs=P(axes), check_vma=False))
+
+
+def score_multi_sharded(mesh: Mesh, grid, pts_all, nrm_all, mask_all,
+                        hyps, owner, radius, sigma):
+    """Production-stage scoring launch with the hypothesis axis sharded
+    over all mesh devices. len(hyps) must be a multiple of the mesh size
+    (ScoreStream sizes its slices accordingly)."""
+    return _sharded_score_multi(mesh)(
+        grid, pts_all, nrm_all, mask_all, hyps, owner,
+        jnp.float32(radius), jnp.float32(sigma))
 
 
 def score_hypotheses_sharded(mesh: Mesh, grid: hashgrid.HashGrid,

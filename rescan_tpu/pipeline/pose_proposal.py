@@ -209,7 +209,7 @@ def _select_cell_best(s4: np.ndarray, cell_of_hyp: np.ndarray,
 
 def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
                             occupancy: "SceneOccupancy | None",
-                            verbose: bool = False
+                            verbose: bool = False, mesh=None
                             ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Coarse-to-fine grid search for every dynamic object, level-major:
     the occupancy prune runs threaded across objects, then each level's
@@ -253,7 +253,7 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
     prepped = {(i, lvl): score.prep_points(db.objects[i].cloud.pos(lvl),
                                            db.objects[i].cloud.nrm(lvl))
                for i in dyn}
-    stream = score.ScoreStream(scene_grid, radius, sigma)
+    stream = score.ScoreStream(scene_grid, radius, sigma, mesh=mesh)
     for i in dyn:
         stream.submit(None, None, hyps[alive[i]], prepped=prepped[(i, lvl)])
     lvl4_scores = stream.collect()
@@ -279,7 +279,7 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
     # :348-359, and die in NMS via its score < 0.01 rule) ---
     for vlvl in config.GRID_SEARCH_LEVELS[1:]:
         t0 = time.perf_counter()
-        stream = score.ScoreStream(scene_grid, radius, sigma)
+        stream = score.ScoreStream(scene_grid, radius, sigma, mesh=mesh)
         submitted = []
         for i in dyn:
             valid = scores_of[i] > 0.0
@@ -314,8 +314,8 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
 
 def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
                              verbose: bool = False,
-                             occupancy: "SceneOccupancy | None" = None
-                             ) -> Tuple[np.ndarray, np.ndarray]:
+                             occupancy: "SceneOccupancy | None" = None,
+                             mesh=None) -> Tuple[np.ndarray, np.ndarray]:
     """Single-object convenience wrapper over the level-major search (used
     by tests and the multichip dryrun): builds a one-object fake database
     record path through the same code the production stage runs."""
@@ -334,7 +334,7 @@ def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
     if len(alive):
         s4[alive] = score.score_hypotheses_bucketed(
             scene_grid, obj.pos(lvl), obj.nrm(lvl), hyps[alive],
-            radius, sigma)
+            radius, sigma, mesh=mesh)
     keep = _select_cell_best(s4, cell_of_hyp, config.SCORE_THRESHOLDS[lvl])
     poses = hyps[keep]
     scores = s4[keep].astype(np.float32)
@@ -346,7 +346,7 @@ def propose_poses_for_object(obj: PointCloud, scene_grid, scene_bbox,
         if valid.any():
             sv = score.score_hypotheses_bucketed(
                 scene_grid, obj.pos(vlvl), obj.nrm(vlvl), poses[valid],
-                radius, sigma)
+                radius, sigma, mesh=mesh)
             thr = config.SCORE_THRESHOLDS[vlvl]
             scores[valid] = np.where(sv > thr, sv, -1.0).astype(np.float32)
 
@@ -408,7 +408,18 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
 
 def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         verbose: bool = False, save_outputs: bool = True) -> rsdbio.Rsdb:
+    import jax
     import jax.numpy as jnp
+
+    # multi-chip: shard every scoring launch's hypothesis axis and the ICP
+    # refinement's batch axis over all devices (single-device path is the
+    # plain jit); the scene index is replicated
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.make_flat_mesh()
+        if verbose:
+            print(f"PARALLEL: sharding over {mesh.devices.size} devices")
 
     db = database.load_database(rsdb_filename, load_pointclouds=True,
                                 verbose=verbose)
@@ -456,7 +467,7 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
 
     # --- multiresolution grid search, all dynamic objects level-major ---
     proposals = grid_search_all_objects(db, scene_grid, bbox, occupancy,
-                                        verbose=verbose)
+                                        verbose=verbose, mesh=mesh)
 
     if verbose:
         print(f"PROFILE: grid search (all objects) {time.perf_counter() - t_stage:.2f}s")
@@ -508,12 +519,20 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
         T_all = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
         T_all[:B] = np.stack(flat_T)
-        T_ref, _ = icp.icp_align_batched(
-            jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
-            icp_grid, jnp.asarray(T_all),
-            config.REFINE_ICP_MAX_DIST,
-            np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
-        T_ref = np.asarray(T_ref)[:B]
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            T_ref, _ = pmesh.icp_refine_sharded(
+                mesh, icp_grid, pts_b, nrm_b, mask_b, T_all,
+                config.REFINE_ICP_MAX_DIST,
+                float(np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG)))
+            T_ref = T_ref[:B]
+        else:
+            T_ref, _ = icp.icp_align_batched(
+                jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+                icp_grid, jnp.asarray(T_all),
+                config.REFINE_ICP_MAX_DIST,
+                np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
+            T_ref = np.asarray(T_ref)[:B]
         if verbose:
             print(f"PROFILE: ICP refinement {time.perf_counter() - t_stage:.2f}s")
         t_stage = time.perf_counter()
@@ -522,7 +541,7 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         # launch stream
         qlvl = config.REFINE_SCORE_QUERY_LVL
         radius = sigma = config.SCORE_SEARCH_RADII[slvl]
-        stream = score.ScoreStream(scene_grid, radius, sigma)
+        stream = score.ScoreStream(scene_grid, radius, sigma, mesh=mesh)
         obj_order = []
         for i, entries in by_obj.items():
             name = db.class_name(db.objects[i].class_idx)

@@ -63,3 +63,39 @@ def test_mesh_uses_all_devices():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     m = pmesh.make_mesh(8, sp=2)
     assert m.shape == {"dp": 4, "sp": 2}
+
+
+def test_production_stage_sharded_equals_single(tmp_path):
+    """The PRODUCTION grid-search stage (propose_poses_for_object, the
+    same code path pose_proposal.run drives per object) must produce the
+    SAME proposal set with and without the mesh."""
+    import numpy as np
+    from rescan_tpu import config
+    from rescan_tpu.core.pointcloud import PointCloud
+    from rescan_tpu.ops import search
+    from rescan_tpu.pipeline import pose_proposal as pp
+    from rescan_tpu.utils import synthetic
+
+    spec = synthetic.SceneSpec(room_size=(1.2, 1.2), wall_height=0.7,
+                               objects=[("chair", (0.4, 0.4),
+                                         (0.3, 0.4, 0.3), 0.0)])
+    ply = str(tmp_path / "scene.ply")
+    synthetic.save_scene_ply(ply, spec, resolution=5)
+    scene = PointCloud.from_ply(ply)
+    obj = scene.extract_by_ids(0, "instance_ids", [3], compute_levels=True)
+    slvl = config.SCORE_SEARCH_LVL
+    grid = search.build_index(scene.pos(slvl),
+                              config.SCORE_SEARCH_RADII[slvl],
+                              normals=scene.nrm(slvl))
+    occ = pp.SceneOccupancy(scene.pos(slvl),
+                            config.SCORE_SEARCH_RADII[slvl],
+                            scene_nrm=scene.nrm(slvl))
+
+    p_ref, s_ref = pp.propose_poses_for_object(obj, grid, scene.bbox,
+                                               occupancy=occ)
+    m = pmesh.make_flat_mesh(8)
+    p_sh, s_sh = pp.propose_poses_for_object(obj, grid, scene.bbox,
+                                             occupancy=occ, mesh=m)
+    assert len(p_ref) == len(p_sh)
+    np.testing.assert_allclose(p_sh, p_ref, atol=1e-6)
+    np.testing.assert_allclose(s_sh, s_ref, atol=1e-5)
