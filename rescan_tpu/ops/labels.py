@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import config
 from ..io.rsdb import Placement, Rsdb
-from ..core import native
+from . import search as search_ops
 
 
 def _static_sort_key(db: Rsdb, p: Placement) -> int:
@@ -44,7 +44,18 @@ def _static_sort_key(db: Rsdb, p: Placement) -> int:
 def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
                           radius: float = config.LABEL_TRANSFER_RADIUS,
                           prioritize_static: bool = False) -> None:
-    """Write class/instance ids into scene level 1 from the arrangement."""
+    """Write class/instance ids into scene level 1 from the arrangement.
+
+    Device path: per placement, ONE gated-NN launch of the (bbox-filtered)
+    scene points against the OBJECT's search index — the index is built
+    once per object and reused across that object's placements and both
+    passes (the reference rebuilds a host hash grid per placement,
+    rs_pointcloud_filters.cpp:745-750). The launch returns the un-gated
+    nearest neighbor plus its |normal dot|; the 70-degree gate is applied
+    after, exactly like the reference (nearest-THEN-gate, :758-771 — NOT
+    nearest-gate-passing)."""
+    import jax.numpy as jnp
+
     lvl = config.LABEL_LVL
     pts = scene.pos(lvl)
     nrm = scene.nrm(lvl)
@@ -65,6 +76,17 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
     # (rs_pointcloud_filters.cpp:830-848)
 
     cos_gate = np.cos(np.deg2rad(config.LABEL_TRANSFER_MAX_ANGLE_DEG))
+    max_r = config.LABEL_TRANSFER_STATIC_RADIUS_SCALE * radius
+    index_cache = {}
+
+    def obj_index(obj_idx: int):
+        e = index_cache.get(obj_idx)
+        if e is None:
+            obj = db.objects[obj_idx].cloud
+            e = search_ops.build_index(obj.pos(lvl), max_r,
+                                       normals=obj.nrm(lvl))
+            index_cache[obj_idx] = e
+        return e
 
     def assign(start: int, end: int, r: float):
         for i in range(start, end):
@@ -81,21 +103,18 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
             if len(cand) == 0:
                 continue
-            grid = native.HostGrid(obj.pos(lvl), r)
-            idx, d2, cnt = grid.radius_search(q[cand], r, 1)
-            hit = cnt > 0
-            ci = cand[hit]
-            nn = idx[hit, 0]
-            nd2 = d2[hit, 0]
+            # cos_gate -1: every neighbor passes, so this is the plain
+            # nearest-in-radius, with the selected neighbor's |dot|
+            idx, d2, dot = search_ops.nearest_gated(
+                obj_index(p.object_idx), jnp.asarray(q[cand]),
+                jnp.asarray(qn[cand]), r, -1.0, use_abs_dot=True)
+            idx = np.asarray(idx)
+            nd2 = np.asarray(d2)
+            dot = np.asarray(dot)
+            hit = idx >= 0
+            ci, nd2, dot = cand[hit], nd2[hit], dot[hit]
             better = nd2 < min_d2[ci]
-            ci, nn, nd2 = ci[better], nn[better], nd2[better]
-            onrm = obj.nrm(lvl)[nn]
-            qn_sel = qn[ci]
-            qn_n = qn_sel / np.maximum(
-                np.linalg.norm(qn_sel, axis=1, keepdims=True), 1e-30)
-            on_n = onrm / np.maximum(
-                np.linalg.norm(onrm, axis=1, keepdims=True), 1e-30)
-            dot = np.abs(np.sum(qn_n * on_n, axis=1))
+            ci, nd2, dot = ci[better], nd2[better], dot[better]
             ok = dot > cos_gate  # angle < 70 deg
             ci, nd2 = ci[ok], nd2[ok]
             min_d2[ci] = nd2
@@ -126,14 +145,23 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
 
 def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
     """8-NN 0.05-radius edge graph with the reference's edge weights
-    (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722).
+    (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722), built
+    with the device radius-kNN kernel (ops/hashgrid.radius_knn — the
+    batched equivalent of msh_hash_grid_radius_search with sort=1).
     Returns (edges (E,2) int32 deduped unordered pairs, weights (E,))."""
+    import jax.numpy as jnp
+
+    from . import hashgrid
+
     lvl = config.LABEL_LVL
     pts = scene.pos(lvl)
     nrm = scene.nrm(lvl)
     r = config.SMOOTH_RADIUS
-    grid = native.HostGrid(pts, r)
-    idx, d2, cnt = grid.radius_search(pts, r, config.SMOOTH_MAX_NN)
+    grid = hashgrid.build_grid(pts, r)
+    idx, d2, cnt = hashgrid.radius_knn(grid, jnp.asarray(pts), r,
+                                       config.SMOOTH_MAX_NN, chunk=16384)
+    idx = np.asarray(idx)
+    d2 = np.asarray(d2)
     n, k = idx.shape
     src = np.repeat(np.arange(n, dtype=np.int64), k)
     dst = idx.reshape(-1).astype(np.int64)

@@ -36,15 +36,26 @@ class PlaneModel:
     saliency: float = 0.0
 
 
-def _plane_inlier_counts(centers, normals, pts, weights, dist):
-    """Count weighted inliers for many candidate planes at once."""
-    sel = weights > 0.01
-    p = pts[sel]
-    d = np.abs((p[None, :, :] - centers[:, None, :]) @ np.ones((1,)) if False
-               else np.einsum("cij->cij", p[None] - centers[:, None]))
-    # distance of each point to each plane: |dot(n_c, p - c_c)|
-    dd = np.abs(np.einsum("ci,cpi->cp", normals, p[None] - centers[:, None]))
-    return (dd < dist).sum(axis=1)
+def _plane_inlier_counts(pts_sel: np.ndarray, anchors: np.ndarray,
+                         normals: np.ndarray, valid: np.ndarray,
+                         dist: float, block: int = 256) -> np.ndarray:
+    """Inlier counts of many candidate planes in blocked matmuls.
+
+    For candidate c: count of points p with |(p - anchor_c) . n_c| < dist,
+    computed as |P @ n_c - anchor_c . n_c| — one (n_pts, block) GEMM per
+    block instead of one O(n_pts) pass per candidate (the reference runs
+    the per-candidate pass serially, rs_pointcloud_filters.cpp:162-176)."""
+    n_iter = len(anchors)
+    p64 = pts_sel.astype(np.float64)
+    n64 = np.where(valid[:, None], normals, 0.0).astype(np.float64)
+    off = np.einsum("ci,ci->c", n64, anchors.astype(np.float64))
+    counts = np.zeros(n_iter, np.int64)
+    for lo in range(0, n_iter, block):
+        hi = min(lo + block, n_iter)
+        d = np.abs(p64 @ n64[lo:hi].T - off[None, lo:hi])
+        counts[lo:hi] = (d < dist).sum(axis=0)
+    counts[~valid] = 0
+    return counts
 
 
 def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
@@ -62,14 +73,9 @@ def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
     n = np.cross(pb - pa, pc_ - pa)
     with np.errstate(invalid="ignore", divide="ignore"):
         n = n / np.linalg.norm(n, axis=1, keepdims=True)
-    sel = weights > 0.01
-    p = pts[sel]
-    counts = np.zeros(n_iter, dtype=np.int64)
-    for c in range(n_iter):
-        if not np.isfinite(n[c]).all():
-            continue
-        d = np.abs((p - pa[c]) @ n[c])
-        counts[c] = (d < config.PLANE_DIST_THRESHOLD).sum()
+    valid = np.isfinite(n).all(axis=1)
+    counts = _plane_inlier_counts(pts[weights > 0.01], pa, n, valid,
+                                  config.PLANE_DIST_THRESHOLD)
     best = int(np.argmax(counts))
     if counts[best] == 0:
         return []
@@ -104,14 +110,9 @@ def detect_walls(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
         with np.errstate(invalid="ignore", divide="ignore"):
             n = n / np.linalg.norm(n, axis=1, keepdims=True)
         vertical = np.abs(n[:, 1]) < (1.0 - config.PLANE_DOT_THRESHOLD)
-        sel = weights > 0.01
-        p = pts[sel]
-        counts = np.zeros(n_iter, dtype=np.int64)
-        for c in range(n_iter):
-            if not vertical[c] or not np.isfinite(n[c]).all():
-                continue
-            d = np.abs((p - pa[c]) @ n[c])
-            counts[c] = (d < config.PLANE_DIST_THRESHOLD).sum()
+        valid = vertical & np.isfinite(n).all(axis=1)
+        counts = _plane_inlier_counts(pts[weights > 0.01], pa, n, valid,
+                                      config.PLANE_DIST_THRESHOLD)
         best = int(np.argmax(counts))
         best_count = int(counts[best])
         detected = best_count > 0

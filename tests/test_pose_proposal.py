@@ -53,6 +53,49 @@ def test_occupancy_fill_box():
     assert (filled[0, :, :] == voxel.FREE).all()
 
 
+def test_occupancy_prune_is_exact(tmp_path):
+    """The occupancy prune claims to be an exact conservative upper bound
+    (SceneOccupancy docstring): the grid search with the prune ON must
+    return the IDENTICAL proposal set as with the prune OFF."""
+    from rescan_tpu import config
+    from rescan_tpu.ops import search
+    from rescan_tpu.pipeline import pose_proposal as pp
+
+    _tiny_pair(tmp_path)
+    scene = PointCloud.from_ply(str(tmp_path / "scan_001.ply"))
+    base = PointCloud.from_ply(str(tmp_path / "scan_000.ply"))
+    obj = base.extract_by_ids(0, "instance_ids", [3], compute_levels=True)
+    # recenter like seg2rsdb does (dynamic objects live at the XZ origin)
+    c = obj.centroid(0).copy()
+    c[1] = 0.0
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = -c
+    obj.transform(T)
+
+    slvl = config.SCORE_SEARCH_LVL
+    grid = search.build_index(scene.pos(slvl),
+                              config.SCORE_SEARCH_RADII[slvl],
+                              normals=scene.nrm(slvl))
+    occ = pp.SceneOccupancy(scene.pos(slvl),
+                            config.SCORE_SEARCH_RADII[slvl],
+                            scene_nrm=scene.nrm(slvl))
+    p_off, s_off = pp.propose_poses_for_object(obj, grid, scene.bbox,
+                                               occupancy=None)
+    p_on, s_on = pp.propose_poses_for_object(obj, grid, scene.bbox,
+                                             occupancy=occ)
+    assert len(p_on) == len(p_off)
+    np.testing.assert_allclose(p_on, p_off, atol=1e-6)
+    np.testing.assert_allclose(s_on, s_off, atol=1e-6)
+    # and the prune actually prunes (otherwise this test is vacuous)
+    lvl = config.GRID_SEARCH_LEVELS[0]
+    from rescan_tpu.ops import score as score_ops
+    hyps, _, _ = score_ops.grid_search_hypotheses(scene.bbox[0],
+                                                  scene.bbox[1])
+    ub = occ.score_upper_bound(obj.pos(lvl), hyps, obj_nrm=obj.nrm(lvl))
+    kept = (ub >= config.SCORE_THRESHOLDS[lvl]).mean()
+    assert kept < 0.9, f"prune kept {kept:.0%} — not pruning anything"
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not HAS_ORACLE, reason="reference binaries not built")
 def test_pose_proposal_vs_reference(tmp_path):
