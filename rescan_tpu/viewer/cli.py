@@ -23,7 +23,7 @@ def main(argv=None) -> int:
                                  description="Headless rsdb screenshot tool")
     ap.add_argument("rsdb_filename")
     ap.add_argument("--output", "-o", default="screenshot.png")
-    ap.add_argument("--mode", choices=("rgb", "class", "instance"),
+    ap.add_argument("--mode", choices=("rgb", "class", "instance", "score"),
                     default="instance")
     ap.add_argument("--level", type=int, default=1)
     ap.add_argument("--resolution", nargs=2, type=int, default=(1024, 768))
@@ -34,10 +34,20 @@ def main(argv=None) -> int:
     ap.add_argument("--placement_mode",
                     choices=("optimized", "proposals", "identity"),
                     default="optimized")
+    ap.add_argument("--max_proposals", type=int, default=8,
+                    help="proposals per object in proposals mode")
+    ap.add_argument("--show_bboxes", action="store_true",
+                    help="wireframe bbox per drawn placement (debugvis)")
+    ap.add_argument("--show_grid", action="store_true",
+                    help="floor grid overlay (debugvis)")
+    ap.add_argument("--show_axes", action="store_true",
+                    help="world axes overlay (debugvis)")
+    ap.add_argument("--df_slice_y", type=float, default=None,
+                    help="render a scene distance-field slice at height Y")
     args = ap.parse_args(argv)
 
     db = database.load_database(args.rsdb_filename, load_pointclouds=True)
-    if args.placement_mode == "proposals":
+    if args.placement_mode == "proposals" or args.mode == "score":
         # the reference viewer loads the proposal .bin alongside the rsdb
         # (apps/rsdb_viewer/main.cpp:647-661)
         from ..io import rsdb as rsdbio
@@ -54,7 +64,10 @@ def main(argv=None) -> int:
         width=args.resolution[0], height=args.resolution[1],
         camera_eye=cam_eye, camera_target=cam_tgt,
         show_placements=not args.no_placements,
-        placement_mode=args.placement_mode)
+        placement_mode=args.placement_mode,
+        max_proposals=args.max_proposals,
+        show_bboxes=args.show_bboxes, show_grid=args.show_grid,
+        show_axes=args.show_axes, df_slice_y=args.df_slice_y)
     render.write_png(args.output, img)
     print(f"VIEWER: wrote {args.output} "
           f"({args.resolution[0]}x{args.resolution[1]}, mode={args.mode})")

@@ -33,6 +33,90 @@ NYU40_PALETTE = np.array([
     (100, 85, 144)], dtype=np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Diverging colormap (score visualization)
+#
+# The reference bakes a cool-warm table (lib/rs/diverging_map.inl); here the
+# same Moreland smooth cool-warm map is COMPUTED: sRGB -> CIELAB -> Msh,
+# linear interpolation in Msh with a white control point at the midpoint
+# (Moreland, "Diverging Color Maps for Scientific Visualization", 2009).
+# ---------------------------------------------------------------------------
+
+def _srgb_to_msh(rgb):
+    rgb = np.asarray(rgb, np.float64)
+    lin = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4,
+                   rgb / 12.92)
+    M = np.array([[0.4124, 0.3576, 0.1805],
+                  [0.2126, 0.7152, 0.0722],
+                  [0.0193, 0.1192, 0.9505]])
+    xyz = lin @ M.T
+    white = np.array([0.95047, 1.0, 1.08883])
+    r = xyz / white
+
+    def f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(r[..., 0]), f(r[..., 1]), f(r[..., 2])
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    Mm = np.sqrt(L * L + a * a + b * b)
+    s = np.where(Mm > 1e-9, np.arccos(np.clip(L / np.maximum(Mm, 1e-9),
+                                              -1, 1)), 0.0)
+    h = np.arctan2(b, a)
+    return np.stack([Mm, s, h], axis=-1)
+
+
+def _msh_to_srgb(msh):
+    Mm, s, h = msh[..., 0], msh[..., 1], msh[..., 2]
+    L = Mm * np.cos(s)
+    a = Mm * np.sin(s) * np.cos(h)
+    b = Mm * np.sin(s) * np.sin(h)
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        return np.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    white = np.array([0.95047, 1.0, 1.08883])
+    xyz = np.stack([finv(fx), finv(fy), finv(fz)], axis=-1) * white
+    Minv = np.array([[3.2406, -1.5372, -0.4986],
+                     [-0.9689, 1.8758, 0.0415],
+                     [0.0557, -0.2040, 1.0570]])
+    lin = np.clip(xyz @ Minv.T, 0.0, 1.0)
+    return np.where(lin > 0.0031308,
+                    1.055 * lin ** (1.0 / 2.4) - 0.055, 12.92 * lin)
+
+
+def diverging_colors(t: np.ndarray,
+                     low=(0.230, 0.299, 0.754),
+                     high=(0.706, 0.016, 0.150)) -> np.ndarray:
+    """Cool-warm diverging colors for t in [0, 1]; (..., 3) float in [0,1]."""
+    t = np.clip(np.asarray(t, np.float64), 0.0, 1.0)
+    m_low = _srgb_to_msh(np.asarray(low))
+    m_high = _srgb_to_msh(np.asarray(high))
+    m_white = max(m_low[0], m_high[0], 88.0)
+
+    def adjust_hue(sat_msh, m_unsat):
+        Mm, s, h = sat_msh
+        if Mm >= m_unsat - 0.1 or s < 0.05:
+            return h
+        spin = s * np.sqrt(m_unsat ** 2 - Mm ** 2) / (Mm * np.sin(s))
+        return h + (spin if h > -np.pi / 3.0 else -spin)
+
+    left = t < 0.5
+    ti = np.where(left, 2.0 * t, 2.0 * t - 1.0)
+    # each half interpolates toward/from white with the hue carried from
+    # that half's SATURATED endpoint (spin-adjusted), so hue stays stable
+    a = np.where(left[..., None], m_low, [m_white, 0.0,
+                                          adjust_hue(m_high, m_white)])
+    b = np.where(left[..., None],
+                 [m_white, 0.0, adjust_hue(m_low, m_white)], m_high)
+    msh = a + ti[..., None] * (b - a)
+    return _msh_to_srgb(msh)
+
+
 def write_png(path: str, image: np.ndarray) -> None:
     """Minimal RGB8 PNG writer (no external deps)."""
     h, w, _ = image.shape
@@ -66,8 +150,10 @@ def render_points(points: np.ndarray, colors: np.ndarray,
                   view: np.ndarray, width: int = 1024, height: int = 768,
                   fov_deg: float = 55.0, point_px: int = 2,
                   bg: Tuple[int, int, int] = (20, 20, 24),
-                  shade_normals: Optional[np.ndarray] = None) -> np.ndarray:
-    """Z-buffered point splatting. colors in [0,1] float or uint8."""
+                  shade_normals: Optional[np.ndarray] = None,
+                  return_zbuf: bool = False):
+    """Z-buffered point splatting. colors in [0,1] float or uint8.
+    With return_zbuf, returns (img, zbuf) so overlays can depth-test."""
     p = np.asarray(points, np.float64)
     cam = p @ view[:3, :3].T + view[:3, 3]
     z = -cam[:, 2]
@@ -103,7 +189,107 @@ def render_points(points: np.ndarray, colors: np.ndarray,
             xx = np.clip(xi + dx - point_px // 2, 0, width - 1)
             img[yy, xx] = col
             zbuf[yy, xx] = z
+    if return_zbuf:
+        return img, zbuf
     return img
+
+
+# ---------------------------------------------------------------------------
+# Debug overlays (the headless counterpart of lib/rs/debugvis.h:4-9 —
+# thick lines, grids, axes, proposal bboxes)
+# ---------------------------------------------------------------------------
+
+def draw_segments(img: np.ndarray, zbuf: np.ndarray, view: np.ndarray,
+                  segments: np.ndarray, colors: np.ndarray,
+                  fov_deg: float = 55.0, z_bias: float = 0.01,
+                  px: int = 1) -> None:
+    """Depth-tested world-space line segments drawn into (img, zbuf).
+
+    segments: (S, 2, 3) endpoints; colors: (S, 3) uint8 or [0,1] float.
+    Each segment is sampled at ~pixel density, samples z-tested against the
+    point splats with a small bias so lines sitting ON geometry win.
+    """
+    height, width, _ = img.shape
+    segments = np.asarray(segments, np.float64).reshape(-1, 2, 3)
+    colors = np.asarray(colors)
+    if colors.dtype != np.uint8:
+        colors = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+    focal = 0.5 * height / np.tan(np.deg2rad(fov_deg) * 0.5)
+
+    def project(p):
+        cam = p @ view[:3, :3].T + view[:3, 3]
+        z = -cam[:, 2]
+        x = (cam[:, 0] / np.maximum(z, 1e-6)) * focal + width * 0.5
+        y = -(cam[:, 1] / np.maximum(z, 1e-6)) * focal + height * 0.5
+        return x, y, z
+
+    ax, ay, az = project(segments[:, 0])
+    bx, by, bz = project(segments[:, 1])
+    # sample counts at ~1 px spacing (camera-clipped segments kept coarse)
+    n_samp = np.clip(np.hypot(bx - ax, by - ay).astype(np.int64) + 2,
+                     2, 4096)
+    xs, ys, zs, cs = [], [], [], []
+    for s in range(len(segments)):
+        t = np.linspace(0.0, 1.0, n_samp[s])
+        p = segments[s, 0][None, :] * (1 - t[:, None]) + \
+            segments[s, 1][None, :] * t[:, None]
+        x, y, z = project(p)
+        ok = z > 1e-4
+        xs.append(x[ok])
+        ys.append(y[ok])
+        zs.append(z[ok])
+        cs.append(np.tile(colors[s % len(colors)], (int(ok.sum()), 1)))
+    if not xs:
+        return
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    z = np.concatenate(zs)
+    c = np.concatenate(cs)
+    for dy in range(px):
+        for dx in range(px):
+            xi = np.round(x).astype(np.int64) + dx
+            yi = np.round(y).astype(np.int64) + dy
+            inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+            xi, yi, zi, ci = xi[inb], yi[inb], z[inb], c[inb]
+            front = zi <= zbuf[yi, xi] + z_bias
+            img[yi[front], xi[front]] = ci[front]
+
+
+def bbox_segments(bmin: np.ndarray, bmax: np.ndarray,
+                  pose: Optional[np.ndarray] = None) -> np.ndarray:
+    """The 12 wireframe edges of an (optionally posed) axis-aligned box."""
+    bmin = np.asarray(bmin, np.float64)
+    bmax = np.asarray(bmax, np.float64)
+    c = np.array([[bmin[0], bmin[1], bmin[2]], [bmax[0], bmin[1], bmin[2]],
+                  [bmax[0], bmax[1], bmin[2]], [bmin[0], bmax[1], bmin[2]],
+                  [bmin[0], bmin[1], bmax[2]], [bmax[0], bmin[1], bmax[2]],
+                  [bmax[0], bmax[1], bmax[2]], [bmin[0], bmax[1], bmax[2]]])
+    if pose is not None:
+        c = c @ np.asarray(pose, np.float64)[:3, :3].T + pose[:3, 3]
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+         (0, 4), (1, 5), (2, 6), (3, 7)]
+    return np.stack([np.stack([c[a], c[b]]) for a, b in e])
+
+
+def grid_segments(bmin, bmax, y: float = 0.0, step: float = 0.5
+                  ) -> np.ndarray:
+    """Floor grid lines (dbgvis grid, debugvis.h)."""
+    xs = np.arange(np.floor(bmin[0] / step) * step, bmax[0] + step, step)
+    zs = np.arange(np.floor(bmin[2] / step) * step, bmax[2] + step, step)
+    segs = [[[x, y, zs[0]], [x, y, zs[-1]]] for x in xs]
+    segs += [[[xs[0], y, z], [xs[-1], y, z]] for z in zs]
+    return np.asarray(segs, np.float64)
+
+
+def axes_segments(origin=(0.0, 0.0, 0.0), length: float = 0.5) -> tuple:
+    """World axes (dbgvis axes): returns (segments (3,2,3), colors (3,3))."""
+    o = np.asarray(origin, np.float64)
+    segs = np.array([[o, o + [length, 0, 0]],
+                     [o, o + [0, length, 0]],
+                     [o, o + [0, 0, length]]])
+    cols = np.array([[230, 60, 60], [60, 220, 60], [70, 110, 255]],
+                    np.uint8)
+    return segs, cols
 
 
 def colorize(cloud, mode: str = "rgb") -> np.ndarray:
@@ -124,46 +310,100 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
                 camera_eye: Optional[Sequence[float]] = None,
                 camera_target: Optional[Sequence[float]] = None,
                 show_placements: bool = True,
-                placement_mode: str = "optimized") -> np.ndarray:
+                placement_mode: str = "optimized",
+                max_proposals: int = 8,
+                show_bboxes: bool = False,
+                show_grid: bool = False,
+                show_axes: bool = False,
+                df_slice_y: Optional[float] = None) -> np.ndarray:
     """Render a database scene + placed objects. `placement_mode` mirrors
     the reference viewer's vis modes (apps/rsdb_viewer/main.cpp:81):
-    'optimized' draws the arrangement's poses, 'proposals' the top proposal
-    per object, 'identity' the objects at canonical pose."""
+    'optimized' draws the arrangement's poses, 'proposals' the top
+    `max_proposals` proposals per object, 'identity' the objects at
+    canonical pose. `mode` adds 'score': placements colored by the
+    diverging cool-warm map of their (proposal/placement) score — the
+    reference viewer's score visualization (lib/rs/diverging_map.inl).
+    Debug overlays (lib/rs/debugvis.h): placement bbox wireframes, floor
+    grid, world axes, and an optional distance-field slice at height
+    ``df_slice_y`` (ops/distance_field, colored by the same diverging
+    map)."""
     scene = db.scenes[scene_idx].cloud
     L = scene.levels[level]
     pts = [L["positions"]]
-    cols = [colorize(L, mode)]
+    if mode == "score":
+        # scene stays neutral gray; placements carry the score colors
+        cols = [np.full((len(L["positions"]), 3), 0.55, np.float64)]
+    else:
+        cols = [colorize(L, mode)]
     nrms = [L["normals"]]
 
     def placements():
         arr_idx = scene_idx if scene_idx >= 0 else len(db.arrangements) - 1
         if placement_mode == "optimized":
             for p in db.arrangements[arr_idx]:
-                yield p.object_idx, p.pose, p.uidx
+                yield p.object_idx, p.pose, p.uidx, p.score
         elif placement_mode == "proposals":
             poses = ((db.proposed_poses[arr_idx] or [])
                      if db.proposed_poses else [])
+            scores = ((db.proposed_scores[arr_idx] or [])
+                      if db.proposed_scores else [])
             for oi, obj_poses in enumerate(poses):
-                if len(obj_poses):
-                    yield oi, np.asarray(obj_poses[0]), db.objects[oi].uidx
+                sc = scores[oi] if oi < len(scores) else None
+                for k in range(min(len(obj_poses), max_proposals)):
+                    s = float(sc[k]) if sc is not None and k < len(sc) else 0.0
+                    yield oi, np.asarray(obj_poses[k]), \
+                        db.objects[oi].uidx, s
         elif placement_mode == "identity":
             for oi, o in enumerate(db.objects):
-                yield oi, np.eye(4, dtype=np.float32), o.uidx
+                yield oi, np.eye(4, dtype=np.float32), o.uidx, 1.0
         else:
             raise ValueError(f"unknown placement_mode {placement_mode}")
 
+    overlay_boxes = []    # (segments, color float [0,1])
     if show_placements:
-        for object_idx, pose, uidx in placements():
+        for object_idx, pose, uidx, score in placements():
             obj = db.objects[object_idx].cloud
             if obj is None:
                 continue
             Lo = obj.levels[level]
             w = Lo["positions"] @ pose[:3, :3].T + pose[:3, 3]
             pts.append(w)
-            fake = dict(Lo)
-            fake["instance_ids"] = np.full(len(w), uidx, np.int32)
-            cols.append(colorize(fake, mode))
+            if mode == "score":
+                c = diverging_colors(np.clip(score, 0.0, 1.0))
+                cols.append(np.tile(c, (len(w), 1)))
+            else:
+                fake = dict(Lo)
+                fake["instance_ids"] = np.full(len(w), uidx, np.int32)
+                cols.append(colorize(fake, mode))
             nrms.append(Lo["normals"] @ pose[:3, :3].T)
+            if show_bboxes:
+                bmin_o = Lo["positions"].min(axis=0)
+                bmax_o = Lo["positions"].max(axis=0)
+                c = (diverging_colors(np.clip(score, 0.0, 1.0))
+                     if mode == "score" else
+                     NYU40_PALETTE[uidx % len(NYU40_PALETTE)] / 255.0)
+                overlay_boxes.append((bbox_segments(bmin_o, bmax_o, pose),
+                                      np.asarray(c, np.float64)))
+
+    if df_slice_y is not None:
+        # distance-field debug slice: sample a horizontal plane through the
+        # scene's field, color by distance via the diverging map
+        from ..ops import distance_field as dfmod
+        df = dfmod.build_distance_field(scene.pos(2), voxel=0.05,
+                                        max_dist=0.5)
+        bmin_s, bmax_s = scene.bbox
+        gx = np.arange(bmin_s[0], bmax_s[0], 0.02)
+        gz = np.arange(bmin_s[2], bmax_s[2], 0.02)
+        gxx, gzz = np.meshgrid(gx, gz, indexing="ij")
+        slice_pts = np.stack([gxx.ravel(),
+                              np.full(gxx.size, df_slice_y),
+                              gzz.ravel()], axis=1).astype(np.float32)
+        d = np.asarray(df.lookup(slice_pts))
+        pts.append(slice_pts)
+        cols.append(diverging_colors(1.0 - np.clip(d / 0.5, 0, 1)))
+        nrms.append(np.tile(np.array([[0, 1, 0]], np.float64),
+                            (len(slice_pts), 1)))
+
     pts = np.concatenate(pts)
     cols = np.concatenate([np.asarray(c, np.float64) / (255.0 if
                           np.asarray(c).dtype == np.uint8 else 1.0)
@@ -178,5 +418,17 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
     target = (np.asarray(camera_target, np.float64)
               if camera_target is not None else center)
     view = look_at(eye, target)
-    return render_points(pts, cols, view, width, height,
-                         shade_normals=nrms)
+    img, zbuf = render_points(pts, cols, view, width, height,
+                              shade_normals=nrms, return_zbuf=True)
+    if show_grid:
+        segs = grid_segments(bmin, bmax, y=float(bmin[1]))
+        draw_segments(img, zbuf, view, segs,
+                      np.full((len(segs), 3), 90, np.uint8))
+    if show_axes:
+        segs, axcols = axes_segments(origin=bmin, length=0.25 * diag)
+        draw_segments(img, zbuf, view, segs, axcols, px=2)
+    for segs, c in overlay_boxes:
+        draw_segments(img, zbuf, view, segs,
+                      np.tile(np.asarray(c).reshape(1, 3), (len(segs), 1)),
+                      px=2)
+    return img

@@ -171,3 +171,47 @@ def test_viewer_png(tmp_path):
                               width=64, height=48)
     assert im.shape == (48, 64, 3)
     assert (im != np.array([20, 20, 24], np.uint8)).any()  # something drawn
+
+
+def test_diverging_colormap():
+    """Moreland cool-warm: blue at 0, red at 1, near-white at 0.5,
+    monotone red channel."""
+    from rescan_tpu.viewer import render
+    c = render.diverging_colors(np.array([0.0, 0.5, 1.0]))
+    assert c.shape == (3, 3)
+    assert c[0, 2] > c[0, 0]            # t=0: blue dominates
+    assert c[2, 0] > c[2, 2]            # t=1: red dominates
+    assert c[1].min() > 0.75            # midpoint near-white
+    t = np.linspace(0, 1, 33)
+    cc = render.diverging_colors(t)
+    # cool half: red rises toward white; warm half: blue falls from white
+    assert (np.diff(cc[: 17, 0]) > -1e-3).all()
+    assert (np.diff(cc[16:, 2]) < 1e-3).all()
+    # quarter points keep their hue families (light blue / salmon)
+    q = render.diverging_colors(np.array([0.25, 0.75]))
+    assert q[0, 2] > q[0, 0] and q[1, 0] > q[1, 2]
+
+
+def test_debug_overlays():
+    """Depth-tested segment overlays: a bbox in front of points draws; one
+    behind the camera draws nothing."""
+    from rescan_tpu.viewer import render
+    view = render.look_at([2, 2, 2], [0, 0, 0])
+    img = np.zeros((48, 64, 3), np.uint8)
+    zbuf = np.full((48, 64), np.inf)
+    segs = render.bbox_segments([-0.3, -0.3, -0.3], [0.3, 0.3, 0.3])
+    assert segs.shape == (12, 2, 3)
+    render.draw_segments(img, zbuf, view, segs,
+                         np.full((12, 3), 255, np.uint8))
+    assert (img > 0).any()
+    # grid + axes helpers produce sane shapes
+    g = render.grid_segments([-1, 0, -1], [1, 0, 1], step=0.5)
+    assert g.shape[1:] == (2, 3) and len(g) > 4
+    a, ac = render.axes_segments()
+    assert a.shape == (3, 2, 3) and ac.shape == (3, 3)
+    # occluded: zbuf filled with near depths blocks the far segments
+    img2 = np.zeros((48, 64, 3), np.uint8)
+    zbuf2 = np.full((48, 64), 0.01)
+    render.draw_segments(img2, zbuf2, view, segs,
+                         np.full((12, 3), 255, np.uint8))
+    assert not (img2 > 0).any()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""End-to-end eval parity run, recorded (VERDICT r1 item 5).
+
+Drives a 3-scan synthetic sequence through the full in-process pipeline
+(seg2rsdb -> pose_proposal -> segment_transfer per rescan, driver.py), emits
+ScanNet-style eval files, runs all three evaluators, and writes the metrics
+to RESULTS.json + a markdown table on stdout (paste into BASELINE.md).
+
+    python tools/run_eval_parity.py [--small] [--out RESULTS.json]
+
+--small: the tiny 1.6 m room at resolution 6 (CPU-friendly smoke).
+Default: the bench-scale 4x4 m / 5-object scene of bench.py at
+resolution 16 (~960k points per scan) — run this on the TPU host.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def build_sequence(root: str, small: bool) -> None:
+    from rescan_tpu.utils import synthetic
+
+    gt = os.path.join(root, "roomA", "gt_segmentation")
+    os.makedirs(gt, exist_ok=True)
+    if small:
+        spec0 = synthetic.SceneSpec(
+            room_size=(1.6, 1.6), wall_height=0.9, objects=[
+                ("chair", (0.45, 0.45), (0.35, 0.5, 0.35), 0.0),
+                ("table", (1.1, 1.0), (0.5, 0.4, 0.35), 0.0)])
+        res = 6
+        moves = [((0.25, 0.15), 0), ((-0.1, 0.3), 0)]
+    else:
+        # the bench.py scene (BASELINE.md measured configuration)
+        spec0 = synthetic.SceneSpec(
+            room_size=(4.0, 4.0), wall_height=2.5, objects=[
+                ("chair", (1.0, 1.0), (0.5, 0.9, 0.5), 0.0),
+                ("chair", (3.0, 1.2), (0.5, 0.9, 0.5), 0.6),
+                ("table", (2.0, 2.0), (1.2, 0.75, 0.8), 0.0),
+                ("sofa", (1.0, 3.2), (1.6, 0.8, 0.7), 0.0),
+                ("desk", (3.2, 3.0), (1.0, 0.75, 0.6), 1.2)])
+        res = 16
+        moves = [((0.5, 0.3), 0), ((-0.4, 0.5), 3)]
+    specs = [spec0]
+    for mv, which in moves:
+        specs.append(synthetic.moved_scene_spec(specs[-1], mv, which=which))
+    for i, spec in enumerate(specs):
+        synthetic.save_scene_ply(os.path.join(gt, f"scan_{i:03d}.ply"),
+                                 spec, resolution=res, seed=i)
+    synthetic.write_class_file(os.path.join(root, "nyu40_classes.txt"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--out", default="RESULTS.json")
+    args = ap.parse_args()
+
+    from rescan_tpu.eval import (instance_transfer, semantic_instance,
+                                 semantic_label)
+    from rescan_tpu.pipeline import driver
+
+    root = args.root or ("/tmp/rescan_eval_parity_small" if args.small
+                         else "/tmp/rescan_eval_parity")
+    os.makedirs(root, exist_ok=True)
+    if not os.path.exists(os.path.join(root, "nyu40_classes.txt")):
+        build_sequence(root, args.small)
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    t0 = time.perf_counter()
+    try:
+        driver.run_sequence("roomA", os.path.join(root, "nyu40_classes.txt"),
+                            eval_folder=os.path.join(root, "eval"),
+                            resume=True)
+    finally:
+        os.chdir(cwd)
+    pipeline_s = time.perf_counter() - t0
+
+    ev = os.path.join(root, "eval")
+
+    def files(task, method):
+        d = os.path.join(ev, task, method)
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".txt")]
+
+    # semantic label mean IoU over rescans
+    sl_pred = files("semantic_label", "predictions")
+    sl_gt = [f.replace("predictions", "gt_segmentation") for f in sl_pred]
+    ious = semantic_label.evaluate(sl_pred, sl_gt)
+    per_class = [v[0] for v in ious.values() if np.isfinite(v[0])]
+    sem_miou = float(np.mean(per_class)) if per_class else float("nan")
+
+    # instance-transfer mean IoU per scan (the paper's novel metric)
+    it_pred = files("instance_transfer", "predictions")
+    it_miou = [float(instance_transfer.evaluate_scan(
+        f, f.replace("predictions", "gt_segmentation"))) for f in it_pred]
+
+    # semantic-instance AP
+    si_pred = files("semantic_instance", "predictions")
+    si_gt = [f.replace("predictions", "gt_segmentation") for f in si_pred]
+    res = semantic_instance.evaluate(si_pred, si_gt)
+
+    out = {
+        "config": "small" if args.small else "bench-scale",
+        "n_scans": 3,
+        "pipeline_wall_s": round(pipeline_s, 1),
+        "semantic_label_mIoU": round(sem_miou, 4),
+        "instance_transfer_mIoU_per_scan": [round(x, 4) for x in it_miou],
+        "instance_transfer_mIoU": round(float(np.mean(it_miou)), 4),
+        "semantic_instance_AP": round(float(res["all_ap"]), 4),
+        "semantic_instance_AP50": round(float(res["all_ap_50%"]), 4),
+        "semantic_instance_AP25": round(float(res["all_ap_25%"]), 4),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+    print("\n| metric | value |\n|---|---|")
+    for k, v in out.items():
+        print(f"| {k} | {v} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
