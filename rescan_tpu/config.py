@@ -197,3 +197,6 @@ class ArrangementOpts:
     sa_action_likelihoods: Tuple[float, ...] = SA_ACTION_LIKELIHOODS
     just_greedy_initialization: bool = False
     just_simulated_annealing: bool = False
+    # arrangement blob resume surface (apps/segment_transfer/main.cpp:81-141)
+    save_arrangement_filename: "str | None" = None
+    load_arrangement_filename: "str | None" = None

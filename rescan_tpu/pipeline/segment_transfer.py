@@ -189,6 +189,14 @@ def run(input_db: str, output_db: str,
         db.arrangements.append([])
 
     time_idx = len(db.arrangements) - 1
+    if opts.load_arrangement_filename:
+        # arrangement-blob resume surface (save_arrangement/load_arrangement,
+        # apps/segment_transfer/main.cpp:81-141; byte-compatible codec)
+        db.arrangements[time_idx] = rsdbio.load_arrangement(
+            opts.load_arrangement_filename)
+        print(f"IO: Loaded arrangement "
+              f"{opts.load_arrangement_filename} "
+              f"({len(db.arrangements[time_idx])} placements)")
     plane_models: List[planes.PlaneModel] = []
     ctx = None
     if db.scenes and db.scenes[time_idx].pose_proposal_filename:
@@ -218,6 +226,11 @@ def run(input_db: str, output_db: str,
         timings["simulated_annealing"] = time.perf_counter() - t0
         print(f"ARRANGEMENT_OPTIMIZATION: Optimization finished in "
               f"{timings['simulated_annealing']:f}s.")
+
+    if opts.save_arrangement_filename:
+        rsdbio.save_arrangement(opts.save_arrangement_filename,
+                                db.arrangements[time_idx])
+        print(f"IO: Saved arrangement {opts.save_arrangement_filename}")
 
     t0 = time.perf_counter()
     add_static_objects(db, time_idx)
@@ -277,13 +290,21 @@ def main(argv=None) -> int:
     ap.add_argument("--upper_index", type=int, default=10)
     ap.add_argument("--n_sa_iter", type=int, default=config.SA_N_ITER)
     ap.add_argument("--n_past_steps", type=int, default=config.N_PAST_STEPS)
+    ap.add_argument("--save_arrangement", default=None,
+                    help="write the optimized arrangement blob (binary, "
+                    "byte-compatible with the reference's save_arrangement)")
+    ap.add_argument("--load_arrangement", default=None,
+                    help="skip optimization state: preload the arrangement "
+                    "from a blob written by --save_arrangement")
     args = ap.parse_args(argv)
 
     opts = config.ArrangementOpts(
         lower_idx=args.lower_index, upper_idx=args.upper_index,
         n_sa_iter=args.n_sa_iter, n_past_steps=args.n_past_steps,
         just_greedy_initialization=args.just_greedy_initialization,
-        just_simulated_annealing=args.just_simulated_annealing)
+        just_simulated_annealing=args.just_simulated_annealing,
+        save_arrangement_filename=args.save_arrangement,
+        load_arrangement_filename=args.load_arrangement)
     if args.efw_greedy:
         opts.energy_weights_greedy = tuple(args.efw_greedy)
     if args.efw_sa:

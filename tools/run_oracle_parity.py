@@ -101,18 +101,21 @@ def main() -> int:
     try:
         ours_bin = "ours_pp/ours_pp.bin"
         if not os.path.exists(ours_bin):
-            seg2rsdb.main([scan0, cls, "scan_000.rsdb"])
+            seg2rsdb.main([scan0, cls, "./scan_000.rsdb"])
             t0 = time.perf_counter()
-            pose_proposal.run("scan_000.rsdb", scan1, "ours_pp.rsdb")
+            pose_proposal.run("./scan_000.rsdb", scan1, "./ours_pp.rsdb")
             print(f"PARITY: ours ran in {time.perf_counter() - t0:.1f}s")
         ref_bin_file = "ref_pp/ref_pp.bin"
         if not os.path.exists(ref_bin_file):
+            # NOTE: output paths MUST contain a directory separator — the
+            # reference's create_pose_proposal_filename crashes on bare
+            # filenames (filepath_helpers.h:82, strncpy with size -1)
             subprocess.run([f"{REF_BIN}/seg2rsdb", scan0, cls,
-                            "ref_000.rsdb"], check=True, timeout=3600,
+                            "./ref_000.rsdb"], check=True, timeout=3600,
                            capture_output=True)
             t0 = time.perf_counter()
-            subprocess.run([f"{REF_BIN}/pose_proposal", "ref_000.rsdb",
-                            scan1, "ref_pp.rsdb", "-v"], check=True,
+            subprocess.run([f"{REF_BIN}/pose_proposal", "./ref_000.rsdb",
+                            scan1, "./ref_pp.rsdb", "-v"], check=True,
                            timeout=7200, capture_output=True)
             print(f"PARITY: reference ran in {time.perf_counter() - t0:.1f}s")
         p_ours, s_ours = rsdbio.load_pose_proposals(ours_bin)
