@@ -178,10 +178,44 @@ def _points_in_convex_poly(p: np.ndarray, poly: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _components_min_label(n: int, src: np.ndarray, dst: np.ndarray
+                          ) -> np.ndarray:
+    """Connected components of an undirected edge list by min-label
+    propagation with pointer jumping — the vectorized equivalent of the
+    reference's per-edge union-find (rs_pointcloud_filters.cpp:30-66),
+    identical component memberships. Returns (n,) component labels (the
+    min point index of each component)."""
+    labels = np.arange(n, dtype=np.int64)
+    # sort edges once; per round a grouped min over each endpoint's
+    # neighbors is one reduceat
+    order_s = np.argsort(src, kind="stable")
+    ss, sd = src[order_s], dst[order_s]
+    s_starts = np.concatenate([[0], np.flatnonzero(ss[1:] != ss[:-1]) + 1])
+    s_keys = ss[s_starts]
+    order_d = np.argsort(dst, kind="stable")
+    ds, dd = dst[order_d], src[order_d]
+    d_starts = np.concatenate([[0], np.flatnonzero(ds[1:] != ds[:-1]) + 1])
+    d_keys = ds[d_starts]
+    while True:
+        nl = labels.copy()
+        if len(s_keys):  # keys are unique per pass: plain fancy assignment
+            nl[s_keys] = np.minimum(
+                nl[s_keys], np.minimum.reduceat(labels[sd], s_starts))
+        if len(d_keys):
+            nl[d_keys] = np.minimum(
+                nl[d_keys], np.minimum.reduceat(labels[dd], d_starts))
+        # pointer jumping accelerates long chains to O(log diameter)
+        nl = nl[nl]
+        nl = nl[nl]
+        if (nl == labels).all():
+            return labels
+        labels = nl
+
+
 def split_connected_components(models: List[PlaneModel], pts: np.ndarray
                                ) -> List[PlaneModel]:
     """rspf__split_by_connected_components (rs_pointcloud_filters.cpp:325-436):
-    union-find over an 8-NN 0.05-radius graph of each model's inliers;
+    components of an 8-NN 0.05-radius graph of each model's inliers;
     emit one model per component, in first-occurrence order."""
     out: List[PlaneModel] = []
     for m in models:
@@ -191,21 +225,14 @@ def split_connected_components(models: List[PlaneModel], pts: np.ndarray
         grid = native.HostGrid(cur, config.PLANE_CC_RADIUS)
         idx, _, cnt = grid.radius_search(cur, config.PLANE_CC_RADIUS,
                                          config.PLANE_CC_MAX_NN)
-        parent = np.arange(len(cur))
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
+        n, k = idx.shape
         # the reference skips each query's first neighbor (itself, j from 1)
-        for i in range(len(cur)):
-            for j in range(1, cnt[i]):
-                a, b = find(i), find(int(idx[i, j]))
-                if a != b:
-                    parent[a] = b
-        roots = np.array([find(i) for i in range(len(cur))])
+        col = np.arange(k)[None, :]
+        valid = (col >= 1) & (col < cnt[:, None]) & (idx >= 0)
+        src = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
+                              (n, k))[valid]
+        dst = idx[valid].astype(np.int64)
+        roots = _components_min_label(n, src, dst)
         _, first = np.unique(roots, return_index=True)
         for r in roots[np.sort(first)]:
             sel = roots == r

@@ -77,8 +77,16 @@ class SceneOccupancy:
         if scene_nrm is not None:
             bins = np.argmax(scene_nrm @ self.bin_dirs.T, axis=1)
             masks = np.zeros(tuple(res), np.uint64)
-            np.bitwise_or.at(masks, (c[:, 0], c[:, 1], c[:, 2]),
-                             np.uint64(1) << bins.astype(np.uint64))
+            # scatter-OR via sort + reduceat (np.bitwise_or.at is ~100x
+            # slower: 2.5 s for a 300k-point level on this host)
+            flat = (c[:, 0] * res[1] + c[:, 1]) * res[2] + c[:, 2]
+            order = np.argsort(flat)
+            fs = flat[order]
+            vs = (np.uint64(1) << bins.astype(np.uint64))[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1])
+            masks.reshape(-1)[fs[starts]] = np.bitwise_or.reduceat(vs,
+                                                                   starts)
             # compat table: bin b of a query normal is compatible with
             # scene bin s iff the gate could pass for SOME pair of vectors
             # in the two bins: angle(center_b, center_s) <= gate +
@@ -164,6 +172,7 @@ class SceneOccupancy:
                                         return_inverse=True)
         block = max(1, 4_000_000 // max(len(obj_pts), 1))
         inv_vox = np.float32(1.0 / self.voxel)
+        n_flat = r0 * r1 * r2
         for g, hrep in enumerate(grp_idx):
             sel = np.where(grp_inv == g)[0]
             rp = (obj_pts @ R[hrep].T - self.origin) * inv_vox   # (P, 3)
@@ -174,14 +183,15 @@ class SceneOccupancy:
             for lo in range(0, len(sel), block):
                 hh = sel[lo:lo + block]
                 tv = t[hh] * inv_vox                             # (B, 3)
-                c0 = np.floor(rp[None, :, 0] + tv[:, 0:1]).astype(np.int64)
-                c1 = np.floor(rp[None, :, 1] + tv[:, 1:2]).astype(np.int64)
-                c2 = np.floor(rp[None, :, 2] + tv[:, 2:3]).astype(np.int64)
-                inb = ((c0 >= 0) & (c0 < r0) & (c1 >= 0) & (c1 < r1)
-                       & (c2 >= 0) & (c2 < r2))
-                flat = ((np.clip(c0, 0, r0 - 1) * r1
-                         + np.clip(c1, 0, r1 - 1)) * r2
-                        + np.clip(c2, 0, r2 - 1))
+                # int32 cells; out-of-range detected on the FLAT index via
+                # the unsigned-compare trick (negative floors go huge)
+                c0 = np.floor(rp[None, :, 0] + tv[:, 0:1]).astype(np.int32)
+                c1 = np.floor(rp[None, :, 1] + tv[:, 1:2]).astype(np.int32)
+                c2 = np.floor(rp[None, :, 2] + tv[:, 2:3]).astype(np.int32)
+                inb = ((c0.view(np.uint32) < r0) & (c1.view(np.uint32) < r1)
+                       & (c2.view(np.uint32) < r2))
+                flat = (c0 * np.int32(r1) + c1) * np.int32(r2) + c2
+                flat = np.where(inb, flat, 0)
                 if use_nrm:
                     near = (((self._masks_flat[flat] & req[None, :]) != 0)
                             & inb)

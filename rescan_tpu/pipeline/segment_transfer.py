@@ -106,12 +106,22 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     pts = [db.objects[arr[i].object_idx].cloud.pos(lvl) for i in idxs]
     nrm = [db.objects[arr[i].object_idx].cloud.nrm(lvl) for i in idxs]
     pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm)
-    T0 = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
+    # pad the batch dim to a power of two so reruns with one more/fewer
+    # placement reuse the compiled program (padding rows are all-masked
+    # and start inactive)
+    B, N = mask_b.shape
+    Bp = 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0)
+    pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
+                   constant_values=2e6)
+    nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))
+    mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
+    T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
+    T0[:B] = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
     T, _ = icp.icp_align_batched(
         jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b), grid,
         jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
         np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
-    T = np.asarray(T)
+    T = np.asarray(T)[:B]
     for k, i in enumerate(idxs):
         arr[i] = dataclasses.replace(arr[i], pose=T[k])
 

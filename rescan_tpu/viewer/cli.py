@@ -44,6 +44,10 @@ def main(argv=None) -> int:
                     help="world axes overlay (debugvis)")
     ap.add_argument("--df_slice_y", type=float, default=None,
                     help="render a scene distance-field slice at height Y")
+    ap.add_argument("--surfels", action="store_true",
+                    help="splat points at their projected surfel radius")
+    ap.add_argument("--edl", type=float, default=0.0, metavar="STRENGTH",
+                    help="Eye-Dome Lighting strength (0 = off)")
     args = ap.parse_args(argv)
 
     db = database.load_database(args.rsdb_filename, load_pointclouds=True)
@@ -67,7 +71,8 @@ def main(argv=None) -> int:
         placement_mode=args.placement_mode,
         max_proposals=args.max_proposals,
         show_bboxes=args.show_bboxes, show_grid=args.show_grid,
-        show_axes=args.show_axes, df_slice_y=args.df_slice_y)
+        show_axes=args.show_axes, df_slice_y=args.df_slice_y,
+        surfels=args.surfels, edl_strength=args.edl)
     render.write_png(args.output, img)
     print(f"VIEWER: wrote {args.output} "
           f"({args.resolution[0]}x{args.resolution[1]}, mode={args.mode})")

@@ -151,8 +151,16 @@ def render_points(points: np.ndarray, colors: np.ndarray,
                   fov_deg: float = 55.0, point_px: int = 2,
                   bg: Tuple[int, int, int] = (20, 20, 24),
                   shade_normals: Optional[np.ndarray] = None,
+                  radii: Optional[np.ndarray] = None,
+                  edl_strength: float = 0.0,
                   return_zbuf: bool = False):
     """Z-buffered point splatting. colors in [0,1] float or uint8.
+
+    ``radii``: per-point world radii — splat size becomes the PROJECTED
+    surfel size (clipped to [1, 6] px), the headless counterpart of the
+    reference's geometry-shader surfels (lib/rs/cloudvis.h:4-20).
+    ``edl_strength`` > 0 applies Eye-Dome Lighting: a screen-space depth
+    shading pass (cloudvis EDL mode) on the finished z-buffer.
     With return_zbuf, returns (img, zbuf) so overlays can depth-test."""
     p = np.asarray(points, np.float64)
     cam = p @ view[:3, :3].T + view[:3, 3]
@@ -176,22 +184,57 @@ def render_points(points: np.ndarray, colors: np.ndarray,
     xi = np.round(x).astype(np.int64)
     yi = np.round(y).astype(np.int64)
     inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    if radii is not None:
+        size = np.clip(np.round(2.0 * np.asarray(radii, np.float64)[vis]
+                                * focal / z), 1, 6).astype(np.int64)[inb]
+    else:
+        size = np.full(int(inb.sum()), point_px, np.int64)
     xi, yi, z, col = xi[inb], yi[inb], z[inb], col[inb]
 
     img = np.empty((height, width, 3), np.uint8)
     img[:] = bg
     zbuf = np.full((height, width), np.inf)
     order = np.argsort(-z)  # far to near; nearest written last
-    xi, yi, z, col = xi[order], yi[order], z[order], col[order]
-    for dy in range(point_px):
-        for dx in range(point_px):
-            yy = np.clip(yi + dy - point_px // 2, 0, height - 1)
-            xx = np.clip(xi + dx - point_px // 2, 0, width - 1)
-            img[yy, xx] = col
-            zbuf[yy, xx] = z
+    xi, yi, z, col, size = (xi[order], yi[order], z[order], col[order],
+                            size[order])
+    smax = int(size.max()) if len(size) else 1
+    lo = -(size // 2)
+    hi = size + lo
+    for dy in range(-(smax // 2), smax - smax // 2):
+        rowsel = (dy >= lo) & (dy < hi)
+        for dx in range(-(smax // 2), smax - smax // 2):
+            sel = rowsel & (dx >= lo) & (dx < hi)
+            yy = np.clip(yi[sel] + dy, 0, height - 1)
+            xx = np.clip(xi[sel] + dx, 0, width - 1)
+            img[yy, xx] = col[sel]
+            zbuf[yy, xx] = z[sel]
+    if edl_strength > 0.0:
+        img = apply_edl(img, zbuf, strength=edl_strength)
     if return_zbuf:
         return img, zbuf
     return img
+
+
+def apply_edl(img: np.ndarray, zbuf: np.ndarray,
+              strength: float = 1.0) -> np.ndarray:
+    """Eye-Dome Lighting: darken pixels whose neighbors are closer to the
+    eye (screen-space log-depth gradient), the shading the reference's GL
+    viewer applies to point clouds (cloudvis.h EDL shader)."""
+    logz = np.where(np.isfinite(zbuf), np.log(np.maximum(zbuf, 1e-6)), 0.0)
+    have = np.isfinite(zbuf)
+    acc = np.zeros_like(logz)
+    cnt = np.zeros_like(logz)
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                   (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        nz = np.roll(np.roll(logz, dy, 0), dx, 1)
+        nh = np.roll(np.roll(have, dy, 0), dx, 1)
+        acc += np.where(nh, np.maximum(logz - nz, 0.0), 0.0)
+        cnt += nh
+    resp = acc / np.maximum(cnt, 1)
+    shade = np.exp(-strength * 80.0 * resp)
+    out = img.astype(np.float64)
+    out[have] *= shade[have][:, None]
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +358,9 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
                 show_bboxes: bool = False,
                 show_grid: bool = False,
                 show_axes: bool = False,
-                df_slice_y: Optional[float] = None) -> np.ndarray:
+                df_slice_y: Optional[float] = None,
+                surfels: bool = False,
+                edl_strength: float = 0.0) -> np.ndarray:
     """Render a database scene + placed objects. `placement_mode` mirrors
     the reference viewer's vis modes (apps/rsdb_viewer/main.cpp:81):
     'optimized' draws the arrangement's poses, 'proposals' the top
@@ -336,6 +381,7 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
     else:
         cols = [colorize(L, mode)]
     nrms = [L["normals"]]
+    rads = [L["radii"]]
 
     def placements():
         arr_idx = scene_idx if scene_idx >= 0 else len(db.arrangements) - 1
@@ -376,6 +422,7 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
                 fake["instance_ids"] = np.full(len(w), uidx, np.int32)
                 cols.append(colorize(fake, mode))
             nrms.append(Lo["normals"] @ pose[:3, :3].T)
+            rads.append(Lo["radii"])
             if show_bboxes:
                 bmin_o = Lo["positions"].min(axis=0)
                 bmax_o = Lo["positions"].max(axis=0)
@@ -403,6 +450,7 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
         cols.append(diverging_colors(1.0 - np.clip(d / 0.5, 0, 1)))
         nrms.append(np.tile(np.array([[0, 1, 0]], np.float64),
                             (len(slice_pts), 1)))
+        rads.append(np.full(len(slice_pts), 0.01, np.float32))
 
     pts = np.concatenate(pts)
     cols = np.concatenate([np.asarray(c, np.float64) / (255.0 if
@@ -419,7 +467,9 @@ def render_rsdb(db, scene_idx: int = -1, mode: str = "instance",
               if camera_target is not None else center)
     view = look_at(eye, target)
     img, zbuf = render_points(pts, cols, view, width, height,
-                              shade_normals=nrms, return_zbuf=True)
+                              shade_normals=nrms,
+                              radii=np.concatenate(rads) if surfels else None,
+                              edl_strength=edl_strength, return_zbuf=True)
     if show_grid:
         segs = grid_segments(bmin, bmax, y=float(bmin[1]))
         draw_segments(img, zbuf, view, segs,
