@@ -11,10 +11,16 @@
 //     order, emit it, mark every point with dist^2 < voxel^2)
 //   * a uniform hash-grid radius / nearest search used as a host oracle and
 //     for host-side fallbacks (reference: lib/msh/msh_hash_grid.h — strict
-//     `dist_sq < radius_sq` inclusion, capped results keep the k closest)
+//     `dist_sq < radius_sq` inclusion, capped results keep the k closest;
+//     queries are OpenMP-parallel like the reference, msh_hash_grid.h:1120)
+//   * RANSAC plane-candidate inlier counting / gathering (the host VM's
+//     memory bandwidth makes the equivalent numpy broadcasts ~20x slower;
+//     reference: rs_pointcloud_filters.cpp:162-176, :277-323)
+//   * union-find connected components over a precomputed kNN edge list
+//     (reference: the `universe` class, rs_pointcloud_filters.cpp:30-66)
 //
 // Exposed as a plain C ABI consumed via ctypes (core/native.py).
-// Build: tools/build_native.sh (g++ -O3 -shared -fPIC).
+// Build: tools/build_native.sh (g++ -O3 -fopenmp -shared -fPIC).
 
 #include <cstdint>
 #include <cstring>
@@ -238,9 +244,9 @@ void rescan_grid_radius_search(void* grid, const float* pts,
                                int32_t k, int32_t* out_idx, float* out_d2,
                                int32_t* out_cnt) {
   Grid* g = (Grid*)grid;
-  std::vector<std::pair<float, int32_t>> cand;
+#pragma omp parallel for schedule(dynamic, 256)
   for (int64_t q = 0; q < m; ++q) {
-    cand.clear();
+    std::vector<std::pair<float, int32_t>> cand;
     for_neighbors(*g, pts, queries[3 * q], queries[3 * q + 1], queries[3 * q + 2],
                   radius, [&](int32_t j, float d2) { cand.emplace_back(d2, j); });
     int32_t cnt = (int32_t)std::min<size_t>(cand.size(), (size_t)k);
@@ -256,6 +262,100 @@ void rescan_grid_radius_search(void* grid, const float* pts,
     }
     out_cnt[q] = cnt;
   }
+}
+
+// Inlier counts of C candidate planes over the ACTIVE points:
+// counts[c] = |{ p active : |pts_p . n_c - off_c| < dist }|.
+// (rs_pointcloud_filters.cpp:162-176 runs one serial pass per candidate.)
+void rescan_plane_counts(const float* pts, const uint8_t* active, int64_t n,
+                         const float* normals, const float* offs,
+                         int64_t n_cand, float dist, int32_t* counts) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t c = 0; c < n_cand; ++c) {
+    const float nx = normals[3 * c], ny = normals[3 * c + 1],
+                nz = normals[3 * c + 2], off = offs[c];
+    int32_t cnt = 0;
+    // branchless so the compiler vectorizes (the TPU-fronting host VM has
+    // a single core; SIMD is the only parallelism available)
+    for (int64_t p = 0; p < n; ++p) {
+      float d = pts[3 * p] * nx + pts[3 * p + 1] * ny + pts[3 * p + 2] * nz
+                - off;
+      cnt += (int32_t)(active[p] & (std::fabs(d) < dist));
+    }
+    counts[c] = cnt;
+  }
+}
+
+// Alias-table construction replicating msh_discrete_distrib_t
+// (lib/msh/msh_std.h:1863-1942) bit-exactly — same stack order, same f64
+// arithmetic; only lifted from Python (it rebuilds per RANSAC round).
+void rescan_alias_build(const double* weights, int64_t n, double* prob,
+                        int64_t* alias) {
+  double total = 0.0;
+  for (int64_t i = 0; i < n; ++i) total += weights[i];
+  std::vector<double> pdf(n);
+  if (total > 1e-8)
+    for (int64_t i = 0; i < n; ++i) pdf[i] = weights[i] / total;
+  else
+    for (int64_t i = 0; i < n; ++i) pdf[i] = 0.0;
+  const double avg = 1.0 / (double)n;
+  for (int64_t i = 0; i < n; ++i) { prob[i] = 1.0; alias[i] = 0; }
+  std::vector<int64_t> small, large;
+  small.reserve(n); large.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    (pdf[i] >= avg ? large : small).push_back(i);
+  while (!small.empty() && !large.empty()) {
+    int64_t l = small.back(); small.pop_back();
+    int64_t g = large.back(); large.pop_back();
+    prob[l] = pdf[l] * (double)n;
+    alias[l] = g;
+    pdf[g] = (pdf[g] + pdf[l]) - avg;
+    (pdf[g] >= avg ? large : small).push_back(g);
+  }
+}
+
+// Per-model inlier mask: out[c * n + p] = 1 iff |nrm_p . n_c| > dot_thr
+// AND |(pts_p - center_c) . n_c| < dist_thr
+// (rspf__gather_model_inliers, rs_pointcloud_filters.cpp:277-323).
+void rescan_plane_gather(const float* pts, const float* nrm, int64_t n,
+                         const float* centers, const float* normals,
+                         int64_t n_models, float dot_thr, float dist_thr,
+                         uint8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < n_models; ++c) {
+    const float nx = normals[3 * c], ny = normals[3 * c + 1],
+                nz = normals[3 * c + 2];
+    const float off = centers[3 * c] * nx + centers[3 * c + 1] * ny
+                      + centers[3 * c + 2] * nz;
+    uint8_t* row = out + c * n;
+    for (int64_t p = 0; p < n; ++p) {
+      float d = pts[3 * p] * nx + pts[3 * p + 1] * ny + pts[3 * p + 2] * nz
+                - off;
+      float a = nrm[3 * p] * nx + nrm[3 * p + 1] * ny + nrm[3 * p + 2] * nz;
+      row[p] = (std::fabs(a) > dot_thr) && (std::fabs(d) < dist_thr);
+    }
+  }
+}
+
+// Union-find with path halving over an undirected edge list; labels_out
+// gets each node's root (rs_pointcloud_filters.cpp:30-66 semantics).
+void rescan_union_find(int64_t n, const int64_t* src, const int64_t* dst,
+                       int64_t n_edges, int32_t* labels_out) {
+  std::vector<int32_t> parent(n);
+  for (int64_t i = 0; i < n; ++i) parent[i] = (int32_t)i;
+  auto find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int32_t a = find((int32_t)src[e]);
+    int32_t b = find((int32_t)dst[e]);
+    if (a != b) parent[a] = b;
+  }
+  for (int64_t i = 0; i < n; ++i) labels_out[i] = find((int32_t)i);
 }
 
 }  // extern "C"

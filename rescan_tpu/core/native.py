@@ -43,6 +43,23 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float)]
+    lib.rescan_plane_counts.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_plane_gather.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_uint8)]
+    lib.rescan_union_find.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_alias_build.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -79,6 +96,66 @@ def resample_stream(areas: np.ndarray, n_samples: int, face_seed: int,
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(a), n_samples,
         face_seed, bary_seed, _iptr(face), _fptr(bary))
     return face, bary
+
+
+def plane_counts(pts: np.ndarray, active: np.ndarray, normals: np.ndarray,
+                 offs: np.ndarray, dist: float) -> np.ndarray:
+    """Inlier counts of candidate planes over the active points
+    (OpenMP over candidates)."""
+    lib = _load()
+    p = np.ascontiguousarray(pts, np.float32)
+    a = np.ascontiguousarray(active, np.uint8)
+    nr = np.ascontiguousarray(normals, np.float32)
+    of = np.ascontiguousarray(offs, np.float32)
+    counts = np.empty(len(nr), np.int32)
+    lib.rescan_plane_counts(_fptr(p), a.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), len(p), _fptr(nr), _fptr(of),
+        len(nr), ctypes.c_float(dist), _iptr(counts))
+    return counts.astype(np.int64)
+
+
+def plane_gather(pts: np.ndarray, nrm: np.ndarray, centers: np.ndarray,
+                 normals: np.ndarray, dot_thr: float, dist_thr: float
+                 ) -> np.ndarray:
+    """(n_models, n_pts) uint8 inlier masks (OpenMP over models)."""
+    lib = _load()
+    p = np.ascontiguousarray(pts, np.float32)
+    nn = np.ascontiguousarray(nrm, np.float32)
+    c = np.ascontiguousarray(centers, np.float32)
+    nr = np.ascontiguousarray(normals, np.float32)
+    out = np.empty((len(nr), len(p)), np.uint8)
+    lib.rescan_plane_gather(
+        _fptr(p), _fptr(nn), len(p), _fptr(c), _fptr(nr), len(nr),
+        ctypes.c_float(dot_thr), ctypes.c_float(dist_thr),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def alias_build(weights: np.ndarray):
+    """(prob, alias) tables of msh_discrete_distrib_t, bit-exact
+    (lib/msh/msh_std.h:1863-1942)."""
+    lib = _load()
+    w = np.ascontiguousarray(weights, np.float64)
+    prob = np.empty(len(w), np.float64)
+    alias = np.empty(len(w), np.int64)
+    lib.rescan_alias_build(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(w),
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return prob, alias
+
+
+def union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Root label per node over an undirected edge list."""
+    lib = _load()
+    s = np.ascontiguousarray(src, np.int64)
+    d = np.ascontiguousarray(dst, np.int64)
+    labels = np.empty(n, np.int32)
+    lib.rescan_union_find(
+        n, s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(s),
+        _iptr(labels))
+    return labels
 
 
 class HostGrid:

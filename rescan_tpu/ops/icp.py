@@ -178,23 +178,25 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
     return T, err
 
 
-def pad_batch(list_of_pts, list_of_nrm, sort: bool = True):
+def pad_batch(list_of_pts, list_of_nrm, sort: bool = True, n_min: int = 1):
     """Pad a ragged list of (n_i, 3) arrays to (B, N_pad, 3) + mask.
 
     N_pad is the power of two covering the largest pair (>= one
-    QUERY_BLOCK). Each pair's points are Morton-sorted (tight kernel query
-    blocks), padded replicate-last up to the next QUERY_BLOCK boundary
-    (tight bbox for the one mixed block), then FAR beyond — whole far
-    blocks skip the NN kernel's tile loop, so small pairs don't pay for
-    the largest pair's point count.
+    QUERY_BLOCK; >= n_min, which callers set to the largest DB object so
+    DIFFERENT stages' batches share one compiled program — remote-tunnel
+    XLA compiles cost 10-100x a launch). Each pair's points are
+    Morton-sorted (tight kernel query blocks), padded replicate-last up to
+    the next QUERY_BLOCK boundary (tight bbox for the one mixed block),
+    then FAR beyond — whole far blocks skip the NN kernel's tile loop, so
+    small pairs don't pay for the largest pair's point count.
     """
     import numpy as np
     from . import pallas_nn
 
     bq = pallas_nn.QUERY_BLOCK
     B = len(list_of_pts)
-    n_max = max((len(p) for p in list_of_pts), default=1)
-    n_pad = max(1 << int(np.ceil(np.log2(max(n_max, 1)))), bq)
+    n_max = max([len(p) for p in list_of_pts] + [n_min, 1])
+    n_pad = max(1 << int(np.ceil(np.log2(n_max))), bq)
     pts = np.full((B, n_pad, 3), pallas_nn.FAR, np.float32)
     nrm = np.zeros((B, n_pad, 3), np.float32)
     mask = np.zeros((B, n_pad), bool)

@@ -103,14 +103,24 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
             if len(cand) == 0:
                 continue
+            # pad the query count to a power of two (far sentinels) so
+            # placements/scenes reuse compiled programs — a raw count
+            # would compile a fresh kernel per placement (~10 s each
+            # through the remote tunnel)
+            m = len(cand)
+            mp = max(1 << int(np.ceil(np.log2(m))), 256)
+            qp = np.full((mp, 3), 1e6, np.float32)
+            qp[:m] = q[cand]
+            qnp = np.zeros((mp, 3), np.float32)
+            qnp[:m] = qn[cand]
             # cos_gate -1: every neighbor passes, so this is the plain
             # nearest-in-radius, with the selected neighbor's |dot|
             idx, d2, dot = search_ops.nearest_gated(
-                obj_index(p.object_idx), jnp.asarray(q[cand]),
-                jnp.asarray(qn[cand]), r, -1.0, use_abs_dot=True)
-            idx = np.asarray(idx)
-            nd2 = np.asarray(d2)
-            dot = np.asarray(dot)
+                obj_index(p.object_idx), jnp.asarray(qp),
+                jnp.asarray(qnp), r, -1.0, use_abs_dot=True)
+            idx = np.asarray(idx)[:m]
+            nd2 = np.asarray(d2)[:m]
+            dot = np.asarray(dot)[:m]
             hit = idx >= 0
             ci, nd2, dot = cand[hit], nd2[hit], dot[hit]
             better = nd2 < min_d2[ci]
@@ -145,23 +155,34 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
 
 def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
     """8-NN 0.05-radius edge graph with the reference's edge weights
-    (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722), built
-    with the device radius-kNN kernel (ops/hashgrid.radius_knn — the
-    batched equivalent of msh_hash_grid_radius_search with sort=1).
-    Returns (edges (E,2) int32 deduped unordered pairs, weights (E,))."""
-    import jax.numpy as jnp
+    (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722).
+    Returns (edges (E,2) int32 deduped unordered pairs, weights (E,)).
 
-    from . import hashgrid
+    Engine dispatch: a k-NN radius query is a scalar-gather workload — on
+    the TPU backend the query runs on the HOST C++ counting-sort grid
+    (core/native, 0.8 s for a 300k-point level; the device radius_knn
+    kernel measured 50x slower through the remote tunnel), while CPU
+    backends use the batched device kernel (ops/hashgrid.radius_knn)."""
+    import jax
 
     lvl = config.LABEL_LVL
     pts = scene.pos(lvl)
     nrm = scene.nrm(lvl)
     r = config.SMOOTH_RADIUS
-    grid = hashgrid.build_grid(pts, r)
-    idx, d2, cnt = hashgrid.radius_knn(grid, jnp.asarray(pts), r,
-                                       config.SMOOTH_MAX_NN, chunk=16384)
-    idx = np.asarray(idx)
-    d2 = np.asarray(d2)
+    if jax.default_backend() == "cpu":
+        import jax.numpy as jnp
+
+        from . import hashgrid
+        grid = hashgrid.build_grid(pts, r)
+        idx, d2, cnt = hashgrid.radius_knn(grid, jnp.asarray(pts), r,
+                                           config.SMOOTH_MAX_NN,
+                                           chunk=16384)
+        idx = np.asarray(idx)
+        d2 = np.asarray(d2)
+    else:
+        from ..core import native
+        grid = native.HostGrid(pts, r)
+        idx, d2, cnt = grid.radius_search(pts, r, config.SMOOTH_MAX_NN)
     n, k = idx.shape
     src = np.repeat(np.arange(n, dtype=np.int64), k)
     dst = idx.reshape(-1).astype(np.int64)
@@ -189,6 +210,8 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     import jax
     import jax.numpy as jnp
 
+    _init_jits()
+
     lvl = config.LABEL_LVL
     L = scene.levels[lvl]
     n = len(L["class_ids"])
@@ -201,6 +224,9 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     n_labels = max_uidx + 5
     if n_labels < 2:
         return
+    # bucket the label axis (multiple of 8) so growing instance counts
+    # reuse the compiled mean-field/ICM programs across timesteps
+    n_labels = ((n_labels + 7) // 8) * 8
 
     labels0 = np.where(cls == unlabelled_idx, 0, inst + 1).astype(np.int32)
     labels0 = np.clip(labels0, 0, n_labels - 1)
@@ -226,59 +252,98 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     pair_w = (np.floor(w * config.SMOOTH_EDGE_COST).astype(np.float32)
               * config.SMOOTH_EDGE_COST)
 
-    e_src = jnp.asarray(edges[:, 0])
-    e_dst = jnp.asarray(edges[:, 1])
-    e_w = jnp.asarray(pair_w)
-    unary_cost = jnp.asarray(cost_of_point)
-    own = jnp.asarray(labels0)
+    # pad the point and edge axes to powers of two: scan counts vary per
+    # scene and every distinct shape would recompile the mean-field/ICM
+    # programs over the remote tunnel. Padding points have zero unary and
+    # no edges; padding edges are zero-weight self-loops at node 0.
+    n_real = n
+    n = max(1 << int(np.ceil(np.log2(max(n, 1)))), 1024)
+    E = len(edges)
+    Ep = max(1 << int(np.ceil(np.log2(max(E, 1)))), 1024)
+    edges_p = np.zeros((Ep, 2), np.int32)
+    edges_p[:E] = edges
+    pw_p = np.zeros(Ep, np.float32)
+    pw_p[:E] = pair_w
+    cost_p = np.zeros(n, np.float32)
+    cost_p[:n_real] = cost_of_point
+    own_p = np.zeros(n, np.int32)
+    own_p[:n_real] = labels0
 
-    def unary_matrix():
-        # (n, n_labels): 0 at own label else cost_of_point
-        u = jnp.broadcast_to(unary_cost[:, None], (n, n_labels))
-        return u * (1 - jax.nn.one_hot(own, n_labels, dtype=jnp.float32))
+    e_src = jnp.asarray(edges_p[:, 0])
+    e_dst = jnp.asarray(edges_p[:, 1])
+    e_w = jnp.asarray(pw_p)
+    unary_cost = jnp.asarray(cost_p)
+    own = jnp.asarray(own_p)
 
-    U = unary_matrix()
-
-    @jax.jit
-    def meanfield(Q):
-        def body(Q, _):
-            # neighbor agreement per label: sum_j w_ij * Q_j(l)
-            agree = jnp.zeros((n, n_labels), jnp.float32)
-            agree = agree.at[e_src].add(e_w[:, None] * Q[e_dst])
-            agree = agree.at[e_dst].add(e_w[:, None] * Q[e_src])
-            wsum = jnp.zeros((n,), jnp.float32)
-            wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
-            E = U + (wsum[:, None] - agree)
-            Qn = jax.nn.softmax(-E / 4.0, axis=1)
-            return 0.5 * Q + 0.5 * Qn, None
-        Q, _ = jax.lax.scan(body, Q, None, length=n_meanfield)
-        return Q
+    # (n, n_labels): 0 at own label else cost_of_point
+    U = (unary_cost[:, None]
+         * (1 - jax.nn.one_hot(own, n_labels, dtype=jnp.float32)))
 
     Q0 = jax.nn.one_hot(own, n_labels, dtype=jnp.float32)
-    Q = meanfield(Q0)
+    Q = _meanfield(U, Q0, e_src, e_dst, e_w, n_meanfield)
     labels = np.asarray(jnp.argmax(Q, axis=1)).astype(np.int32)
 
     # masked ICM polish: random halves updated per sweep (deterministic)
     rng = np.random.default_rng(config.SA_SEED)
     lab = jnp.asarray(labels)
-
-    @jax.jit
-    def icm_step(lab, mask):
-        agree = jnp.zeros((n, n_labels), jnp.float32)
-        oh_dst = jax.nn.one_hot(lab[e_dst], n_labels, dtype=jnp.float32)
-        oh_src = jax.nn.one_hot(lab[e_src], n_labels, dtype=jnp.float32)
-        agree = agree.at[e_src].add(e_w[:, None] * oh_dst)
-        agree = agree.at[e_dst].add(e_w[:, None] * oh_src)
-        wsum = jnp.zeros((n,), jnp.float32)
-        wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
-        E = U + (wsum[:, None] - agree)
-        best = jnp.argmin(E, axis=1).astype(lab.dtype)
-        return jnp.where(mask, best, lab)
-
     for _ in range(n_icm):
         mask = jnp.asarray(rng.random(n) < 0.5)
-        lab = icm_step(lab, mask)
-    labels = np.asarray(lab)
+        lab = _icm_step(U, lab, mask, e_src, e_dst, e_w)
+    labels = np.asarray(lab)[:n_real]
 
     L["class_ids"] = label_to_class[labels].astype(np.int32)
     L["instance_ids"] = label_to_inst[labels].astype(np.int32)
+
+
+def _meanfield_impl(U, Q, e_src, e_dst, e_w, n_mf: int):
+    import jax
+    import jax.numpy as jnp
+
+    n, n_labels = U.shape
+
+    def body(Q, _):
+        # neighbor agreement per label: sum_j w_ij * Q_j(l)
+        agree = jnp.zeros((n, n_labels), jnp.float32)
+        agree = agree.at[e_src].add(e_w[:, None] * Q[e_dst])
+        agree = agree.at[e_dst].add(e_w[:, None] * Q[e_src])
+        wsum = jnp.zeros((n,), jnp.float32)
+        wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
+        E = U + (wsum[:, None] - agree)
+        Qn = jax.nn.softmax(-E / 4.0, axis=1)
+        return 0.5 * Q + 0.5 * Qn, None
+
+    Q, _ = jax.lax.scan(body, Q, None, length=n_mf)
+    return Q
+
+
+def _icm_step_impl(U, lab, mask, e_src, e_dst, e_w):
+    import jax
+    import jax.numpy as jnp
+
+    n, n_labels = U.shape
+    agree = jnp.zeros((n, n_labels), jnp.float32)
+    oh_dst = jax.nn.one_hot(lab[e_dst], n_labels, dtype=jnp.float32)
+    oh_src = jax.nn.one_hot(lab[e_src], n_labels, dtype=jnp.float32)
+    agree = agree.at[e_src].add(e_w[:, None] * oh_dst)
+    agree = agree.at[e_dst].add(e_w[:, None] * oh_src)
+    wsum = jnp.zeros((n,), jnp.float32)
+    wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
+    E = U + (wsum[:, None] - agree)
+    best = jnp.argmin(E, axis=1).astype(lab.dtype)
+    return jnp.where(mask, best, lab)
+
+
+_meanfield = None
+_icm_step = None
+
+
+def _init_jits():
+    """Module-level jits (a per-call closure would bake the captured edge
+    arrays in as constants and recompile for every scene)."""
+    global _meanfield, _icm_step
+    if _meanfield is None:
+        import functools
+
+        import jax
+        _meanfield = jax.jit(_meanfield_impl, static_argnames=("n_mf",))
+        _icm_step = jax.jit(_icm_step_impl)

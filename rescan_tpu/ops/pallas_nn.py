@@ -236,6 +236,11 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
         segments = [(0, 0)]
 
     segments.append((n, n))  # trailing EMPTY sentinel tile (all padding)
+    # bucket the tile count to a multiple of 16: distinct point counts
+    # otherwise compile distinct kernels, and the remote-tunnel XLA compile
+    # costs 10-100x the launch (empty tiles have far bounds -> skipped)
+    while len(segments) % 16:
+        segments.append((n, n))
     n_tiles = len(segments)
     n_pad = n_tiles * SCENE_TILE
     slab = np.zeros((8, n_pad), np.float32)

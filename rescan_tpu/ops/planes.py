@@ -36,35 +36,42 @@ class PlaneModel:
     saliency: float = 0.0
 
 
-def _plane_inlier_counts(pts_sel: np.ndarray, anchors: np.ndarray,
-                         normals: np.ndarray, valid: np.ndarray,
-                         dist: float, block: int = 256) -> np.ndarray:
-    """Inlier counts of many candidate planes in blocked matmuls.
+class PlaneCountsEngine:
+    """Native RANSAC inlier counting for one point set.
 
-    For candidate c: count of points p with |(p - anchor_c) . n_c| < dist,
-    computed as |P @ n_c - anchor_c . n_c| — one (n_pts, block) GEMM per
-    block instead of one O(n_pts) pass per candidate (the reference runs
-    the per-candidate pass serially, rs_pointcloud_filters.cpp:162-176)."""
-    n_iter = len(anchors)
-    p64 = pts_sel.astype(np.float64)
-    n64 = np.where(valid[:, None], normals, 0.0).astype(np.float64)
-    off = np.einsum("ci,ci->c", n64, anchors.astype(np.float64))
-    counts = np.zeros(n_iter, np.int64)
-    for lo in range(0, n_iter, block):
-        hi = min(lo + block, n_iter)
-        d = np.abs(p64 @ n64[lo:hi].T - off[None, lo:hi])
-        counts[lo:hi] = (d < dist).sum(axis=0)
-    counts[~valid] = 0
-    return counts
+    Counting is a bandwidth-bound scan of the host-resident points —
+    exactly the workload the reference OpenMP-parallelizes
+    (rs_pointcloud_filters.cpp:162-176) — so it runs in the native host
+    library (core/native.plane_counts, OpenMP over candidates). Device
+    matmul variants measured ~3 s/round through the remote TPU tunnel vs
+    ~0.1 s here; the numpy broadcast was ~1.5 s/round on this host."""
+
+    def __init__(self, pts: np.ndarray):
+        self.pts = np.ascontiguousarray(pts, np.float32)
+        self.n = len(pts)
+
+    def counts(self, anchors: np.ndarray, normals: np.ndarray,
+               valid: np.ndarray, active: np.ndarray, dist: float
+               ) -> np.ndarray:
+        """active: (n,) bool — the points still in play this round."""
+        n32 = np.where(valid[:, None], normals, 0.0).astype(np.float32)
+        off = np.einsum("ci,ci->c", n32.astype(np.float64),
+                        anchors.astype(np.float64)).astype(np.float32)
+        counts = native.plane_counts(self.pts, active, n32, off, dist)
+        counts[~valid] = 0
+        return counts
 
 
-def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
+def detect_floor(pts: np.ndarray, nrm: np.ndarray,
+                 engine: "PlaneCountsEngine | None" = None
+                 ) -> List[PlaneModel]:
     """rspf__detect_floor (rs_pointcloud_filters.cpp:204-252): 2500 RANSAC
     rounds over up-facing points, keep the best plane."""
     up_dot = nrm[:, 1]
     weights = (up_dot > config.PLANE_DOT_THRESHOLD).astype(np.float64)
     if weights.sum() == 0:
         return []
+    engine = engine or PlaneCountsEngine(pts)
     dist = mshrng.MshDiscreteDistribution(weights, config.PLANE_RANSAC_SEED)
     n_iter = config.PLANE_FLOOR_RANSAC_ITER
     tri = np.array([[dist.sample(), dist.sample(), dist.sample()]
@@ -74,8 +81,8 @@ def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
     with np.errstate(invalid="ignore", divide="ignore"):
         n = n / np.linalg.norm(n, axis=1, keepdims=True)
     valid = np.isfinite(n).all(axis=1)
-    counts = _plane_inlier_counts(pts[weights > 0.01], pa, n, valid,
-                                  config.PLANE_DIST_THRESHOLD)
+    counts = engine.counts(pa, n, valid, weights > 0.01,
+                           config.PLANE_DIST_THRESHOLD)
     best = int(np.argmax(counts))
     if counts[best] == 0:
         return []
@@ -83,12 +90,15 @@ def detect_floor(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
                        n_inliers=int(counts[best]))]
 
 
-def detect_walls(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
+def detect_walls(pts: np.ndarray, nrm: np.ndarray,
+                 engine: "PlaneCountsEngine | None" = None
+                 ) -> List[PlaneModel]:
     """rspf__detect_walls (rs_pointcloud_filters.cpp:136-202): repeated
     5000-round RANSAC over vertical-normal points with inlier removal,
     until the best round finds < 250 inliers (that last model is dropped)."""
     up_dot = np.abs(nrm[:, 1])
     weights = (up_dot < (1.0 - config.PLANE_DOT_THRESHOLD)).astype(np.float64)
+    engine = engine or PlaneCountsEngine(pts)
     models: List[PlaneModel] = []
     while True:
         if weights.sum() == 0:
@@ -111,8 +121,8 @@ def detect_walls(pts: np.ndarray, nrm: np.ndarray) -> List[PlaneModel]:
             n = n / np.linalg.norm(n, axis=1, keepdims=True)
         vertical = np.abs(n[:, 1]) < (1.0 - config.PLANE_DOT_THRESHOLD)
         valid = vertical & np.isfinite(n).all(axis=1)
-        counts = _plane_inlier_counts(pts[weights > 0.01], pa, n, valid,
-                                      config.PLANE_DIST_THRESHOLD)
+        counts = engine.counts(pa, n, valid, weights > 0.01,
+                               config.PLANE_DIST_THRESHOLD)
         best = int(np.argmax(counts))
         best_count = int(counts[best])
         detected = best_count > 0
@@ -139,14 +149,17 @@ def gather_inliers(models: List[PlaneModel], pts: np.ndarray, nrm: np.ndarray,
                    check_extends: bool = False) -> None:
     """rspf__gather_model_inliers (rs_pointcloud_filters.cpp:277-323):
     points with |dot(n_i, plane_n)| > dot AND plane-distance < dist;
-    optionally restricted to the plane's extent rectangle."""
-    for m in models:
-        if check_validity and not m.valid:
-            continue
-        d = np.abs((pts - m.center) @ m.normal)
-        a = np.abs(nrm @ m.normal)
-        sel = (a > dot_threshold) & (d < dist_threshold)
-        idx = np.where(sel)[0]
+    optionally restricted to the plane's extent rectangle. All models'
+    distance/dot tests run as two (n_pts, n_models) GEMMs."""
+    active = [m for m in models
+              if not (check_validity and not m.valid)]
+    if not active:
+        return
+    N = np.stack([m.normal for m in active]).astype(np.float32)   # (M, 3)
+    C = np.stack([m.center for m in active]).astype(np.float32)
+    sel = native.plane_gather(pts, nrm, C, N, dot_threshold, dist_threshold)
+    for k, m in enumerate(active):
+        idx = np.flatnonzero(sel[k])
         if check_extends and len(idx):
             poly = _extent_polygon(m)
             keep = _points_in_convex_poly(pts[idx], poly)
@@ -180,36 +193,11 @@ def _points_in_convex_poly(p: np.ndarray, poly: np.ndarray) -> np.ndarray:
 
 def _components_min_label(n: int, src: np.ndarray, dst: np.ndarray
                           ) -> np.ndarray:
-    """Connected components of an undirected edge list by min-label
-    propagation with pointer jumping — the vectorized equivalent of the
-    reference's per-edge union-find (rs_pointcloud_filters.cpp:30-66),
-    identical component memberships. Returns (n,) component labels (the
-    min point index of each component)."""
-    labels = np.arange(n, dtype=np.int64)
-    # sort edges once; per round a grouped min over each endpoint's
-    # neighbors is one reduceat
-    order_s = np.argsort(src, kind="stable")
-    ss, sd = src[order_s], dst[order_s]
-    s_starts = np.concatenate([[0], np.flatnonzero(ss[1:] != ss[:-1]) + 1])
-    s_keys = ss[s_starts]
-    order_d = np.argsort(dst, kind="stable")
-    ds, dd = dst[order_d], src[order_d]
-    d_starts = np.concatenate([[0], np.flatnonzero(ds[1:] != ds[:-1]) + 1])
-    d_keys = ds[d_starts]
-    while True:
-        nl = labels.copy()
-        if len(s_keys):  # keys are unique per pass: plain fancy assignment
-            nl[s_keys] = np.minimum(
-                nl[s_keys], np.minimum.reduceat(labels[sd], s_starts))
-        if len(d_keys):
-            nl[d_keys] = np.minimum(
-                nl[d_keys], np.minimum.reduceat(labels[dd], d_starts))
-        # pointer jumping accelerates long chains to O(log diameter)
-        nl = nl[nl]
-        nl = nl[nl]
-        if (nl == labels).all():
-            return labels
-        labels = nl
+    """Connected components of an undirected edge list (native union-find
+    with path halving, core/native.union_find — identical memberships to
+    the reference's per-edge union-find, rs_pointcloud_filters.cpp:30-66).
+    Returns (n,) component root labels."""
+    return native.union_find(n, src, dst).astype(np.int64)
 
 
 def split_connected_components(models: List[PlaneModel], pts: np.ndarray
@@ -310,7 +298,9 @@ def detect_planes(scene) -> List[PlaneModel]:
     level 2, inlier gathering + CC split + refine at level 0."""
     lvl = config.PLANE_DETECT_LVL
     pts2, nrm2 = scene.pos(lvl), scene.nrm(lvl)
-    models = detect_floor(pts2, nrm2) + detect_walls(pts2, nrm2)
+    engine = PlaneCountsEngine(pts2)   # points shipped to device once
+    models = detect_floor(pts2, nrm2, engine) + detect_walls(pts2, nrm2,
+                                                             engine)
     print(f"RSPF_PLANE_DETECTOR: Found {len(models)} large planes.")
     pts0, nrm0 = scene.pos(0), scene.nrm(0)
     gather_inliers(models, pts0, nrm0, config.PLANE_DOT_THRESHOLD,

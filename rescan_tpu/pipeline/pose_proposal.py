@@ -520,9 +520,14 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         for b, (i, k) in enumerate(owners):
             pts_l.append(db.objects[i].cloud.pos(icp_lvl))
             nrm_l.append(db.objects[i].cloud.nrm(icp_lvl))
-        pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l)
+        # n_min/Bp floor: match segment_transfer's refine batch shapes so
+        # the two stages share one compiled ICP program
+        n_min = max((len(db.objects[i].cloud.pos(icp_lvl))
+                     for i in range(len(db.objects))
+                     if not db.is_object_static(i)), default=1)
+        pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l, n_min=n_min)
         B, N = mask_b.shape
-        Bp = 1 << int(np.ceil(np.log2(max(B, 1))))
+        Bp = max(1 << int(np.ceil(np.log2(max(B, 1)))), 256)
         pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
                        constant_values=2e6)
         nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))

@@ -105,12 +105,15 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
                               normals=scene.nrm(lvl))
     pts = [db.objects[arr[i].object_idx].cloud.pos(lvl) for i in idxs]
     nrm = [db.objects[arr[i].object_idx].cloud.nrm(lvl) for i in idxs]
-    pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm)
-    # pad the batch dim to a power of two so reruns with one more/fewer
-    # placement reuse the compiled program (padding rows are all-masked
-    # and start inactive)
+    # n_min/Bp floor chosen to MATCH pose_proposal's ICP refinement batch
+    # shapes, so this stage reuses its compiled program (padding rows are
+    # all-masked and start inactive)
+    n_min = max((len(db.objects[i].cloud.pos(lvl))
+                 for i in range(len(db.objects))
+                 if not db.is_object_static(i)), default=1)
+    pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm, n_min=n_min)
     B, N = mask_b.shape
-    Bp = 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0)
+    Bp = max(1 << max(int(np.ceil(np.log2(max(B, 1)))), 0), 256)
     pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
                    constant_values=2e6)
     nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))

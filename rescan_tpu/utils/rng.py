@@ -70,13 +70,22 @@ class MshRand:
 
 class MshDiscreteDistribution:
     """Alias-method sampler replicating msh_discrete_distrib_t
-    (lib/msh/msh_std.h:1863-1942) including its table construction order."""
+    (lib/msh/msh_std.h:1863-1942) including its table construction order.
+    Table construction runs in the native host library when available
+    (bit-exact same stack order/f64 arithmetic; RANSAC rebuilds the table
+    every round over ~10^5 weights)."""
 
     def __init__(self, weights: np.ndarray, seed: int):
         weights = np.asarray(weights, dtype=np.float64)
         n = len(weights)
         self.rand = MshRand(seed)
         self.n = n
+        try:
+            from ..core import native
+            self.prob, self.alias = native.alias_build(weights)
+            return
+        except Exception:
+            pass
         total = weights.sum()
         pdf = (weights / total) if total > 1e-8 else np.zeros(n)
         pdf = list(pdf)
