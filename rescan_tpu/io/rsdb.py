@@ -193,6 +193,16 @@ def load_rsdb(path: str) -> Rsdb:
                 score = float(tokens[4])
                 mat = np.array([float(t) for t in tokens[5:21]],
                                dtype=np.float32).reshape(4, 4)
+                # validate: the reference indexes out of bounds when a
+                # hand-written file orders commands oddly or declares
+                # n_arrangements < #scenes (rs_database.h parser fragility,
+                # VERDICT r1); fail with context instead
+                if arr_idx >= len(db.arrangements):
+                    raise ValueError(
+                        f"{path}:{line_no}: pose references arrangement "
+                        f"{arr_idx} but only {len(db.arrangements)} are "
+                        "declared (check n_arrangements / scene command "
+                        "order)")
                 db.arrangements[arr_idx].append(
                     Placement(uidx, arr_idx, obj_idx, 0, mat, score))
             else:

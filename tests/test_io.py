@@ -176,6 +176,17 @@ def test_arrangement_bin_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(a.pose, b.pose)
 
 
+def test_rsdb_pose_out_of_range_rejected(tmp_path):
+    """A pose line referencing an undeclared arrangement slot must fail
+    loudly (the reference parser silently indexes out of bounds)."""
+    import pytest
+    bad = tmp_path / "bad.rsdb"
+    bad.write_text("rsdb 1.0\nclass wall 1\nn_arrangements 1\n"
+                   "pose 3 5 0 0.5   " + " ".join(["0.0"] * 16) + "\n")
+    with pytest.raises(ValueError, match="arrangement 5"):
+        rsdbio.load_rsdb(str(bad))
+
+
 def test_paths():
     assert paths.model_folder_name("a/b/scan_001.rsdb") == "a/b/scan_001"
     assert paths.pose_proposal_filename("a/b/scan_001.rsdb") == \
