@@ -112,12 +112,20 @@ def main():
     # NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the persistent
     # cache crashes this image's remote-compile TPU worker; the in-process
     # jit cache carries the warmup run's compiles into the measured run.
+    t0 = time.perf_counter()
     prepare_inputs()
     timed_run("warmup")          # compile warm-up
     secs = timed_run("measured", save_outputs=True)  # steady-state
-    st = segment_transfer_profile()
-    print("SEGMENT_TRANSFER_PROFILE: " + " ".join(
-        f"{k}={v}s" for k, v in st.items()))
+    # the segment_transfer profile is informational (no C++ baseline
+    # exists for it); skip it when cold XLA compiles ate the budget so the
+    # headline JSON line always lands within the harness timeout
+    if time.perf_counter() - t0 < 420:
+        st = segment_transfer_profile()
+        print("SEGMENT_TRANSFER_PROFILE: " + " ".join(
+            f"{k}={v}s" for k, v in st.items()))
+    else:
+        print("SEGMENT_TRANSFER_PROFILE: skipped (compile warm-up consumed "
+              "the time budget; see BASELINE.md round-2 numbers)")
     print(json.dumps({
         "metric": "pose_proposal_sec_per_rescan",
         "value": round(secs, 3),
