@@ -103,12 +103,14 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
             if len(cand) == 0:
                 continue
-            # pad the query count to a power of two (far sentinels) so
-            # placements/scenes reuse compiled programs — a raw count
-            # would compile a fresh kernel per placement (~10 s each
-            # through the remote tunnel)
+            # pad the query count to ONE per-scene bucket (far sentinels:
+            # whole padding blocks cost only the kernel prologue) — pow2
+            # of the scene level size, so every placement of every pass
+            # hits the same compiled program; per-placement pow2 buckets
+            # still compiled 3-5 kernel variants (~10-30 s each through
+            # the remote tunnel)
             m = len(cand)
-            mp = max(1 << int(np.ceil(np.log2(m))), 256)
+            mp = max(1 << int(np.ceil(np.log2(max(n, 1)))), 256)
             qp = np.full((mp, 3), 1e6, np.float32)
             qp[:m] = q[cand]
             qnp = np.zeros((mp, 3), np.float32)
@@ -296,18 +298,21 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
 
 
 def _meanfield_impl(U, Q, e_src, e_dst, e_w, n_mf: int):
+    """Damped mean-field over the Potts MRF (fixed-length scan — a
+    convergence-gated while_loop variant measured SLOWER both cold and
+    warm on this runtime)."""
     import jax
     import jax.numpy as jnp
 
     n, n_labels = U.shape
+    wsum = jnp.zeros((n,), jnp.float32)
+    wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
 
     def body(Q, _):
         # neighbor agreement per label: sum_j w_ij * Q_j(l)
         agree = jnp.zeros((n, n_labels), jnp.float32)
         agree = agree.at[e_src].add(e_w[:, None] * Q[e_dst])
         agree = agree.at[e_dst].add(e_w[:, None] * Q[e_src])
-        wsum = jnp.zeros((n,), jnp.float32)
-        wsum = wsum.at[e_src].add(e_w).at[e_dst].add(e_w)
         E = U + (wsum[:, None] - agree)
         Qn = jax.nn.softmax(-E / 4.0, axis=1)
         return 0.5 * Q + 0.5 * Qn, None
@@ -342,8 +347,6 @@ def _init_jits():
     arrays in as constants and recompile for every scene)."""
     global _meanfield, _icm_step
     if _meanfield is None:
-        import functools
-
         import jax
         _meanfield = jax.jit(_meanfield_impl, static_argnames=("n_mf",))
         _icm_step = jax.jit(_icm_step_impl)
