@@ -176,104 +176,144 @@ class ScoreStream:
     reused across objects, levels, and stages); each launch slices the
     hypothesis stream so h_slice * Pp <= MAX_QUERIES_PER_LAUNCH, and tail
     slots are padded with FAR translations (their query blocks are free).
-    ``submit`` dispatches launches immediately (JAX async dispatch keeps
-    the device busy while the host prepares the next request);
-    ``collect`` blocks and returns per-request score arrays.
+    ``submit`` eagerly DISPATCHES every full slice (JAX async dispatch
+    keeps the device busy while the host prepares/prunes the next
+    request); ``collect`` flushes the partial tails, blocks, and returns
+    per-request score arrays.
+
+    Eager dispatch caps the object-table row count per group at a fixed
+    _ROWS (occupied row slots are FAR until their object arrives —
+    FAR-padded query blocks cost only the kernel prologue), keeping
+    launch shapes identical whether a slice fires early or at collect.
 
     ``mesh``: an optional device mesh — launches then shard the hypothesis
     axis across all mesh devices (parallel/mesh.py score_multi_sharded),
     with the scene index and object point tables replicated.
     """
 
+    _ROWS = 16   # object-table capacity per (Pp-group, generation)
+
     def __init__(self, grid, radius: float, sigma: float, mesh=None):
         self.grid = grid
         self.radius = radius
         self.sigma = sigma
         self.mesh = mesh
-        self._groups = {}   # Pp -> dict(pts=[], owners=[], hyps=[], reqs=[])
-        self._results = []  # request idx -> (group, start, count)
+        self._groups = {}   # Pp -> group state dict
+        self._results = []  # request idx -> scores
         self._n_req = 0
+
+    def _new_group(self, pp: int) -> dict:
+        return {"pts": np.full((self._ROWS, pp, 3), pallas_nn.FAR,
+                               np.float32),
+                "nrm": np.zeros((self._ROWS, pp, 3), np.float32),
+                "mask": np.zeros((self._ROWS, pp), bool),
+                "n_rows": 0, "pts_j": None,
+                "hyps": [], "owners": [], "req": [],
+                "launched": [],   # (n_valid, device scores) in order
+                "n_queued": 0}
+
+    def _h_slice(self, pp: int) -> int:
+        h = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
+        if self.mesh is not None:
+            nd = int(self.mesh.devices.size)
+            h = max((h // nd) * nd, nd)
+        return h
+
+    def _launch(self, g: dict, pp: int, hyps: np.ndarray,
+                owners: np.ndarray) -> None:
+        h_slice = self._h_slice(pp)
+        if g["pts_j"] is None:
+            # ship the pow2 row prefix only (a 1-object group uploads one
+            # row, not the whole capacity); FAR rows beyond n_rows are
+            # never referenced by owners
+            rp = _pow2(max(g["n_rows"], 1))
+            g["pts_j"] = jnp.asarray(g["pts"][:rp])
+            g["nrm_j"] = jnp.asarray(g["nrm"][:rp])
+            g["mask_j"] = jnp.asarray(g["mask"][:rp])
+        mats_p = np.tile(np.eye(4, dtype=np.float32), (h_slice, 1, 1))
+        # FAR-translate tail hypotheses: their query blocks have an empty
+        # near-tile range and cost only the block prologue
+        mats_p[:, :3, 3] = 2 * pallas_nn.FAR
+        mats_p[:len(hyps)] = hyps
+        own_p = np.zeros(h_slice, np.int32)
+        own_p[:len(owners)] = owners
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+            s = pmesh.score_multi_sharded(
+                self.mesh, self.grid, g["pts_j"], g["nrm_j"], g["mask_j"],
+                jnp.asarray(mats_p), jnp.asarray(own_p),
+                self.radius, self.sigma)
+        else:
+            s = _score_multi(self.grid, g["pts_j"], g["nrm_j"], g["mask_j"],
+                             jnp.asarray(mats_p), jnp.asarray(own_p),
+                             self.radius, self.sigma)
+        g["launched"].append((len(hyps), s))
+
+    def _drain_full_slices(self, g: dict, pp: int) -> None:
+        h_slice = self._h_slice(pp)
+        while g["n_queued"] >= h_slice:
+            hyps = np.concatenate(g["hyps"], axis=0)
+            owners = np.concatenate(g["owners"])
+            self._launch(g, pp, hyps[:h_slice], owners[:h_slice])
+            g["hyps"] = [hyps[h_slice:]]
+            g["owners"] = [owners[h_slice:]]
+            g["n_queued"] = len(hyps) - h_slice
 
     def submit(self, obj_pts: np.ndarray, obj_nrm: np.ndarray,
                hyps: np.ndarray, prepped=None) -> int:
         """Queue one request; returns its index. ``prepped`` optionally
-        carries a cached prep_points(obj_pts, obj_nrm) result."""
+        carries a cached prep_points(obj_pts, obj_nrm) result. Full
+        launch slices dispatch immediately."""
         pts, nrm, mask = prepped if prepped is not None else \
             prep_points(obj_pts, obj_nrm)
         pp = len(pts)
-        g = self._groups.setdefault(
-            pp, {"pts": [], "nrm": [], "mask": [], "hyps": [], "req": []})
-        obj_slot = len(g["pts"])
-        g["pts"].append(pts)
-        g["nrm"].append(nrm)
-        g["mask"].append(mask)
-        g["hyps"].append(np.asarray(hyps, np.float32).reshape(-1, 4, 4))
-        g["req"].append((self._n_req, obj_slot))
+        g = self._groups.get(pp)
+        if g is None or g["n_rows"] == self._ROWS:
+            # a full object table forces a flush of its queued tail so
+            # row ids stay consistent, then a fresh generation
+            if g is not None:
+                self._flush(g, pp)
+                self._finalize(g)
+            g = self._new_group(pp)
+            self._groups[pp] = g
+        slot = g["n_rows"]
+        g["pts"][slot] = pts
+        g["nrm"][slot] = nrm
+        g["mask"][slot] = mask
+        g["n_rows"] += 1
+        g["pts_j"] = None   # table changed; re-ship on next launch
+        h = np.asarray(hyps, np.float32).reshape(-1, 4, 4)
+        g["hyps"].append(h)
+        g["owners"].append(np.full(len(h), slot, np.int32))
+        g["req"].append((self._n_req, len(h)))
+        g["n_queued"] += len(h)
         self._results.append(None)
         self._n_req += 1
+        self._drain_full_slices(g, pp)
         return self._n_req - 1
 
+    def _flush(self, g: dict, pp: int) -> None:
+        if g["n_queued"]:
+            hyps = np.concatenate(g["hyps"], axis=0)
+            owners = np.concatenate(g["owners"])
+            self._launch(g, pp, hyps, owners)
+            g["hyps"], g["owners"], g["n_queued"] = [], [], 0
+
+    def _finalize(self, g: dict) -> None:
+        scores = np.concatenate(
+            [np.asarray(s)[:n] for n, s in g["launched"]]) \
+            if g["launched"] else np.zeros(0, np.float32)
+        offset = 0
+        for req_idx, n_h in g["req"]:
+            self._results[req_idx] = scores[offset:offset + n_h]
+            offset += n_h
+
     def collect(self) -> List[np.ndarray]:
-        """Dispatch every group's launches and gather all scores."""
-        pending = []
+        """Flush partial tails and gather all scores."""
         for pp, g in sorted(self._groups.items()):
-            rp = _pow2(len(g["pts"]))
-            pts_all = np.full((rp, pp, 3), pallas_nn.FAR, np.float32)
-            nrm_all = np.zeros((rp, pp, 3), np.float32)
-            mask_all = np.zeros((rp, pp), bool)
-            for i in range(len(g["pts"])):
-                pts_all[i] = g["pts"][i]
-                nrm_all[i] = g["nrm"][i]
-                mask_all[i] = g["mask"][i]
-            owners = np.concatenate(
-                [np.full(len(h), slot, np.int32)
-                 for (_, slot), h in zip(g["req"], g["hyps"])])
-            hyps_all = np.concatenate(g["hyps"], axis=0) if g["hyps"] else \
-                np.zeros((0, 4, 4), np.float32)
-            h_total = len(hyps_all)
-            h_slice = max(MAX_QUERIES_PER_LAUNCH // pp, 1)
-            if self.mesh is not None:
-                nd = int(self.mesh.devices.size)
-                h_slice = max((h_slice // nd) * nd, nd)
-
-            pts_j = jnp.asarray(pts_all)
-            nrm_j = jnp.asarray(nrm_all)
-            mask_j = jnp.asarray(mask_all)
-            parts = []
-            for lo in range(0, max(h_total, 1), h_slice):
-                sl = hyps_all[lo:lo + h_slice]
-                own = owners[lo:lo + h_slice]
-                mats_p = np.tile(np.eye(4, dtype=np.float32),
-                                 (h_slice, 1, 1))
-                # FAR-translate tail hypotheses: their query blocks have an
-                # empty near-tile range and cost only the block prologue
-                mats_p[:, :3, 3] = 2 * pallas_nn.FAR
-                mats_p[:len(sl)] = sl
-                own_p = np.zeros(h_slice, np.int32)
-                own_p[:len(own)] = own
-                if self.mesh is not None:
-                    from ..parallel import mesh as pmesh
-                    s = pmesh.score_multi_sharded(
-                        self.mesh, self.grid, pts_j, nrm_j, mask_j,
-                        jnp.asarray(mats_p), jnp.asarray(own_p),
-                        self.radius, self.sigma)
-                else:
-                    s = _score_multi(self.grid, pts_j, nrm_j, mask_j,
-                                     jnp.asarray(mats_p), jnp.asarray(own_p),
-                                     self.radius, self.sigma)
-                parts.append((len(sl), s))
-            pending.append((g, h_total, parts))
-
-        for g, h_total, parts in pending:
-            scores = np.empty(h_total, np.float32)
-            lo = 0
-            for n_sl, s in parts:
-                scores[lo:lo + n_sl] = np.asarray(s)[:n_sl]
-                lo += n_sl
-            offset = 0
-            for (req_idx, _), h in zip(g["req"], g["hyps"]):
-                self._results[req_idx] = scores[offset:offset + len(h)]
-                offset += len(h)
+            self._flush(g, pp)
+        for pp, g in sorted(self._groups.items()):
+            self._finalize(g)
         self._groups = {}
         return self._results
 

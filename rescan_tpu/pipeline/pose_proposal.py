@@ -237,42 +237,41 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
     if not dyn:
         return results
 
-    # --- occupancy prune, threaded across objects (host numpy) ---
+    # --- level 4: occupancy prune (host) interleaved with scoring
+    # dispatch — each object's hypotheses launch while the NEXT object
+    # prunes (ScoreStream dispatches full slices eagerly; the prune is
+    # host numpy, the scoring is device, so they overlap) ---
     t0 = time.perf_counter()
-    if occupancy is not None:
-        def prune(i):
+    prepped = {(i, lvl): score.prep_points(db.objects[i].cloud.pos(lvl),
+                                           db.objects[i].cloud.nrm(lvl))
+               for i in dyn}
+    stream = score.ScoreStream(scene_grid, radius, sigma, mesh=mesh)
+    alive = {}
+    req_of = {}
+    for i in dyn:
+        if occupancy is not None:
             obj = db.objects[i].cloud
             ub = occupancy.score_upper_bound(obj.pos(lvl), hyps,
                                              obj_nrm=obj.nrm(lvl))
-            return np.where(ub >= config.SCORE_THRESHOLDS[lvl])[0]
-        with ThreadPoolExecutor(max_workers=min(4, len(dyn))) as ex:
-            alive = dict(zip(dyn, ex.map(prune, dyn)))
-    else:
-        alive = {i: np.arange(len(hyps)) for i in dyn}
+            alive[i] = np.where(ub >= config.SCORE_THRESHOLDS[lvl])[0]
+        else:
+            alive[i] = np.arange(len(hyps))
+        req_of[i] = stream.submit(None, None, hyps[alive[i]],
+                                  prepped=prepped[(i, lvl)])
     if verbose:
         for i in dyn:
             print(f"POSE_PROPOSAL:         occupancy prune kept "
                   f"{len(alive[i])}/{len(hyps)} hypotheses "
                   f"({db.class_name(db.objects[i].class_idx)}."
                   f"{db.objects[i].uidx:03d})")
-        print(f"PROFILE:   prune {time.perf_counter() - t0:.2f}s")
-
-    # --- level 4: full lattice, keep best angle per cell above threshold
-    # (pose_proposal.cpp:213-243) ---
-    t0 = time.perf_counter()
-    prepped = {(i, lvl): score.prep_points(db.objects[i].cloud.pos(lvl),
-                                           db.objects[i].cloud.nrm(lvl))
-               for i in dyn}
-    stream = score.ScoreStream(scene_grid, radius, sigma, mesh=mesh)
-    for i in dyn:
-        stream.submit(None, None, hyps[alive[i]], prepped=prepped[(i, lvl)])
+        print(f"PROFILE:   prune+dispatch {time.perf_counter() - t0:.2f}s")
     lvl4_scores = stream.collect()
 
     poses_of, scores_of = {}, {}
     thr = config.SCORE_THRESHOLDS[lvl]
-    for k, i in enumerate(dyn):
+    for i in dyn:
         s4 = np.zeros(len(hyps), np.float32)
-        s4[alive[i]] = lvl4_scores[k]
+        s4[alive[i]] = lvl4_scores[req_of[i]]
         keep = _select_cell_best(s4, cell_of_hyp, thr)
         poses_of[i] = hyps[keep]
         scores_of[i] = s4[keep].astype(np.float32)
@@ -281,7 +280,8 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
                   f"poses for object {i}. "
                   f"(Max score: {s4.max() if len(s4) else -1e9:f})")
     if verbose:
-        print(f"PROFILE:   level-4 scoring {time.perf_counter() - t0:.2f}s")
+        print(f"PROFILE:   level-4 prune+score "
+              f"{time.perf_counter() - t0:.2f}s")
 
     # --- levels 3, 2: rescore still-valid poses of ALL objects together,
     # mark below-threshold as -1; -1 entries are carried along (they
