@@ -120,11 +120,20 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
     T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
     T0[:B] = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
-    T, _ = icp.icp_align_batched(
-        jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b), grid,
-        jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
-        np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
-    T = np.asarray(T)[:B]
+    import jax
+    if len(jax.devices()) > 1:
+        from ..parallel import mesh as pmesh
+        T, _ = pmesh.icp_refine_sharded(
+            pmesh.make_flat_mesh(), grid, pts_b, nrm_b, mask_b, T0,
+            config.SCENE_REFINE_ICP_MAX_DIST,
+            float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
+        T = T[:B]
+    else:
+        T, _ = icp.icp_align_batched(
+            jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+            grid, jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
+            np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
+        T = np.asarray(T)[:B]
     for k, i in enumerate(idxs):
         arr[i] = dataclasses.replace(arr[i], pose=T[k])
 
