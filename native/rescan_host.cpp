@@ -337,6 +337,104 @@ void rescan_plane_gather(const float* pts, const float* nrm, int64_t n,
   }
 }
 
+// The reference's deterministic merge shuffle: Fisher-Yates driven by a
+// fresh PCG32 (rs_pointcloud_merge, lib/rs/rs_pointcloud.h:383-446).
+// Bit-exact with utils/rng.MshRand: next_f32 yields the same real number
+// in f32 and f64 (23-bit mantissa), and the index product is computed in
+// double like the Python reference path.
+void rescan_merge_shuffle(int64_t n, uint32_t seed, int32_t* perm) {
+  for (int64_t i = 0; i < n; ++i) perm[i] = (int32_t)i;
+  MshRand g(seed);
+  for (int64_t i = n - 1; i > 0; --i) {
+    int64_t j = (int64_t)((double)g.next_f32() * (double)i);
+    int32_t t = perm[i]; perm[i] = perm[j]; perm[j] = t;
+  }
+}
+
+// Mean-field + masked-ICM label smoothing over the Potts MRF — the host
+// engine for ops/labels.smooth_labels (the rebuild's designated
+// substitution for the reference's gco alpha-beta swap,
+// lib/rs/rs_pointcloud_filters.cpp:882-989). The workload is a sparse
+// row-gather over per-node beliefs — a scalar-gather pattern the TPU
+// executes poorly and the remote tunnel taxes with compiles — so like the
+// k-NN graph build it belongs on the host. Semantics MATCH the JAX
+// reference implementation in ops/labels.py exactly:
+//   E_i(l) = U_i(l) + sum_j w_ij * (1 - Q_j(l))        (mean-field)
+//   Q <- 0.5*Q + 0.5*softmax(-E * inv_temp)            (Jacobi, damped)
+//   ICM: best_i = argmin_l  U_i(l) + sum_j w_ij * [lab_j != l],
+//        applied only where mask is set (Jacobi double-buffer).
+// Ties: first index wins (argmax/argmin scan order), like jnp.
+void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
+                          const int32_t* csr_nbr, const float* csr_w,
+                          int64_t n, int32_t L, int32_t n_mf, float inv_temp,
+                          const float* Q0, int32_t n_icm,
+                          const uint8_t* icm_mask, int32_t* labels) {
+  std::vector<float> Q(Q0, Q0 + n * L), Qn((size_t)n * L);
+  std::vector<float> wsum(n, 0.0f);
+  for (int64_t i = 0; i < n; ++i)
+    for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
+      wsum[i] += csr_w[e];
+
+  std::vector<float> scratch(L);
+  float* agree = scratch.data();
+  for (int32_t it = 0; it < n_mf; ++it) {
+    for (int64_t i = 0; i < n; ++i) {
+      for (int32_t l = 0; l < L; ++l) agree[l] = 0.0f;
+      for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
+        const float w = csr_w[e];
+        const float* qj = &Q[(size_t)csr_nbr[e] * L];
+        for (int32_t l = 0; l < L; ++l) agree[l] += w * qj[l];
+      }
+      // s_l = -(U + wsum - agree) * inv_temp; stable softmax
+      const float* ui = U + (size_t)i * L;
+      float mx = -1e30f;
+      for (int32_t l = 0; l < L; ++l) {
+        agree[l] = -(ui[l] + wsum[i] - agree[l]) * inv_temp;
+        if (agree[l] > mx) mx = agree[l];
+      }
+      float sum = 0.0f;
+      for (int32_t l = 0; l < L; ++l) {
+        agree[l] = std::exp(agree[l] - mx);
+        sum += agree[l];
+      }
+      const float inv_sum = 1.0f / sum;
+      const float* qi = &Q[(size_t)i * L];
+      float* qo = &Qn[(size_t)i * L];
+      for (int32_t l = 0; l < L; ++l)
+        qo[l] = 0.5f * qi[l] + 0.5f * agree[l] * inv_sum;
+    }
+    Q.swap(Qn);
+  }
+
+  std::vector<int32_t> lab(n), lab2(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* qi = &Q[(size_t)i * L];
+    int32_t best = 0;
+    for (int32_t l = 1; l < L; ++l)
+      if (qi[l] > qi[best]) best = l;
+    lab[i] = best;
+  }
+
+  for (int32_t s = 0; s < n_icm; ++s) {
+    const uint8_t* mask = icm_mask + (size_t)s * n;
+    for (int64_t i = 0; i < n; ++i) {
+      for (int32_t l = 0; l < L; ++l) agree[l] = 0.0f;
+      for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
+        agree[lab[csr_nbr[e]]] += csr_w[e];
+      const float* ui = U + (size_t)i * L;
+      int32_t best = 0;
+      float bestE = ui[0] + wsum[i] - agree[0];
+      for (int32_t l = 1; l < L; ++l) {
+        float E = ui[l] + wsum[i] - agree[l];
+        if (E < bestE) { bestE = E; best = l; }
+      }
+      lab2[i] = mask[i] ? best : lab[i];
+    }
+    lab.swap(lab2);
+  }
+  std::memcpy(labels, lab.data(), n * sizeof(int32_t));
+}
+
 // Union-find with path halving over an undirected edge list; labels_out
 // gets each node's root (rs_pointcloud_filters.cpp:30-66 semantics).
 void rescan_union_find(int64_t n, const int64_t* src, const int64_t* dst,

@@ -57,6 +57,14 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_merge_shuffle.argtypes = [
+        ctypes.c_int64, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_meanfield_icm.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
     lib.rescan_alias_build.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
@@ -143,6 +151,38 @@ def alias_build(weights: np.ndarray):
         prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return prob, alias
+
+
+def merge_shuffle(n: int, seed: int) -> np.ndarray:
+    """The reference's deterministic Fisher-Yates merge permutation
+    (rs_pointcloud.h:383-446), bit-exact with utils/rng.MshRand."""
+    lib = _load()
+    perm = np.empty(n, np.int32)
+    lib.rescan_merge_shuffle(n, ctypes.c_uint32(seed), _iptr(perm))
+    return perm
+
+
+def meanfield_icm(U: np.ndarray, csr_off: np.ndarray, csr_nbr: np.ndarray,
+                  csr_w: np.ndarray, n_mf: int, inv_temp: float,
+                  Q0: np.ndarray, icm_mask: np.ndarray) -> np.ndarray:
+    """Host mean-field + masked-ICM smoothing over the Potts MRF; semantics
+    identical to the JAX engine in ops/labels.py (engine agreement is
+    unit-tested). Returns the final label per node."""
+    lib = _load()
+    n, L = U.shape
+    u = np.ascontiguousarray(U, np.float32)
+    off = np.ascontiguousarray(csr_off, np.int32)
+    nbr = np.ascontiguousarray(csr_nbr, np.int32)
+    w = np.ascontiguousarray(csr_w, np.float32)
+    q0 = np.ascontiguousarray(Q0, np.float32)
+    mask = np.ascontiguousarray(icm_mask, np.uint8)
+    n_icm = 0 if mask.size == 0 else mask.shape[0]
+    out = np.empty(n, np.int32)
+    lib.rescan_meanfield_icm(
+        _fptr(u), _iptr(off), _iptr(nbr), _fptr(w), n, L, int(n_mf),
+        ctypes.c_float(inv_temp), _fptr(q0), n_icm,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _iptr(out))
+    return out
 
 
 def union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -26,7 +26,6 @@ import numpy as np
 
 from .. import config
 from ..io import ply as plyio
-from ..utils import rng as mshrng
 from . import native
 
 Level = Dict[str, np.ndarray]
@@ -155,11 +154,7 @@ class PointCloud:
         merged = {k: np.concatenate([self.levels[lvl][k], other.levels[lvl][k]])
                   for k in _FIELDS}
         n = len(merged["positions"])
-        g = mshrng.MshRand(config.MERGE_SHUFFLE_SEED)
-        perm = np.arange(n)
-        for i in range(n - 1, 0, -1):
-            j = int(g.next_f32() * i)
-            perm[i], perm[j] = perm[j], perm[i]
+        perm = native.merge_shuffle(n, config.MERGE_SHUFFLE_SEED)
         merged = {k: np.ascontiguousarray(v[perm]) for k, v in merged.items()}
         return PointCloud.from_arrays(merged)
 

@@ -205,14 +205,21 @@ def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
-                  n_icm: int = 8) -> None:
+                  n_icm: int = 8, engine: str | None = None) -> None:
     """Mean-field + masked-ICM smoothing of level-1 instance labels over
     the reference's unary + weighted-Potts energy
-    (rspf_smooth_labels, rs_pointcloud_filters.cpp:882-989)."""
-    import jax
-    import jax.numpy as jnp
+    (rspf_smooth_labels, rs_pointcloud_filters.cpp:882-989).
 
-    _init_jits()
+    Engine dispatch (same rule as the k-NN graph build above): the update
+    is a sparse row-gather over per-node beliefs — a scalar-gather pattern
+    that is slow on the TPU and pays tunnel compiles — so the default
+    engine is the native host kernel (``rescan_meanfield_icm``); the JAX
+    engine (``engine='jax'`` or env RESCAN_SMOOTH_ENGINE=jax) implements
+    the identical update and is the multi-chip/oracle path — agreement is
+    unit-tested in tests/test_energy_labels.py."""
+    import os as _os
+
+    engine = engine or _os.environ.get("RESCAN_SMOOTH_ENGINE", "native")
 
     lvl = config.LABEL_LVL
     L = scene.levels[lvl]
@@ -254,12 +261,38 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     pair_w = (np.floor(w * config.SMOOTH_EDGE_COST).astype(np.float32)
               * config.SMOOTH_EDGE_COST)
 
-    # pad the point and edge axes to powers of two: scan counts vary per
-    # scene and every distinct shape would recompile the mean-field/ICM
-    # programs over the remote tunnel. Padding points have zero unary and
-    # no edges; padding edges are zero-weight self-loops at node 0.
+    # ICM masks: drawn over the PADDED point count in both engines so the
+    # two paths consume the identical rng stream (the JAX engine pads to a
+    # pow2 bucket for compile reuse; padding nodes have no edges)
     n_real = n
-    n = max(1 << int(np.ceil(np.log2(max(n, 1)))), 1024)
+    n_pad = max(1 << int(np.ceil(np.log2(max(n, 1)))), 1024)
+    rng = np.random.default_rng(config.SA_SEED)
+    icm_masks = (rng.random((n_icm, n_pad)) < 0.5)
+
+    if engine == "native":
+        onehot = np.zeros((n_real, n_labels), np.float32)
+        onehot[np.arange(n_real), labels0] = 1.0
+        U = cost_of_point[:, None] * (1.0 - onehot)
+        # symmetrized CSR adjacency (both directions of each unordered pair)
+        src2 = np.concatenate([edges[:, 0], edges[:, 1]])
+        dst2 = np.concatenate([edges[:, 1], edges[:, 0]])
+        w2 = np.concatenate([pair_w, pair_w])
+        order = np.argsort(src2, kind="stable")
+        off = np.zeros(n_real + 1, np.int64)
+        np.cumsum(np.bincount(src2, minlength=n_real), out=off[1:])
+        from ..core import native
+        labels = native.meanfield_icm(U, off, dst2[order], w2[order],
+                                      n_meanfield, 0.25, onehot,
+                                      icm_masks[:, :n_real])
+        L["class_ids"] = label_to_class[labels].astype(np.int32)
+        L["instance_ids"] = label_to_inst[labels].astype(np.int32)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    _init_jits()
+    n = n_pad
     E = len(edges)
     Ep = max(1 << int(np.ceil(np.log2(max(E, 1)))), 1024)
     edges_p = np.zeros((Ep, 2), np.int32)
@@ -286,11 +319,9 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     labels = np.asarray(jnp.argmax(Q, axis=1)).astype(np.int32)
 
     # masked ICM polish: random halves updated per sweep (deterministic)
-    rng = np.random.default_rng(config.SA_SEED)
     lab = jnp.asarray(labels)
-    for _ in range(n_icm):
-        mask = jnp.asarray(rng.random(n) < 0.5)
-        lab = _icm_step(U, lab, mask, e_src, e_dst, e_w)
+    for k in range(n_icm):
+        lab = _icm_step(U, lab, jnp.asarray(icm_masks[k]), e_src, e_dst, e_w)
     labels = np.asarray(lab)[:n_real]
 
     L["class_ids"] = label_to_class[labels].astype(np.int32)

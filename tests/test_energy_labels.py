@@ -145,6 +145,41 @@ def test_smoothing_reaches_exact_map(tmp_path):
     np.testing.assert_array_equal(out + 1, exact)
 
 
+def test_smoothing_engine_agreement(rng):
+    """The native host smoothing kernel and the JAX engine implement the
+    identical mean-field + masked-ICM update (same rng stream, same
+    tie-breaking); their labelings must agree on a random cloud up to
+    exact-float-tie flips."""
+    from rescan_tpu.ops import labels as labels_ops
+
+    n = 600
+    pts = rng.random((n, 3), dtype=np.float32) * 0.4
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    init = rng.integers(0, 4, n).astype(np.int32)
+    db = Rsdb()
+    db.class_table = {n_: i for i, n_ in enumerate(synthetic.NYU40_CLASSES)}
+
+    outs = {}
+    for engine in ("native", "jax"):
+        cloud = PointCloud.from_arrays({
+            "positions": pts, "normals": nrm,
+            "colors": np.zeros((n, 3), np.float32),
+            "radii": np.full(n, 0.01, np.float32),
+            "qualities": np.ones(n, np.float32),
+            "class_ids": np.full(n, 5, np.int32),
+            "instance_ids": init.copy()}, compute_levels=True)
+        cloud.levels[1] = {k: v.copy() for k, v in cloud.levels[0].items()}
+        labels_ops.smooth_labels(db, cloud, engine=engine)
+        outs[engine] = (cloud.levels[1]["instance_ids"].copy(),
+                        cloud.levels[1]["class_ids"].copy())
+
+    agree = np.mean(outs["native"][0] == outs["jax"][0])
+    assert agree >= 0.995, f"engine agreement only {agree:.4f}"
+    agree_c = np.mean(outs["native"][1] == outs["jax"][1])
+    assert agree_c >= 0.995
+
+
 def test_distance_field(rng):
     pts = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
     df = distance_field.build_distance_field(pts, voxel=0.05, max_dist=0.8)
