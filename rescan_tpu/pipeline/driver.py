@@ -19,8 +19,27 @@ import os
 import sys
 from typing import List, Optional
 
+import dataclasses
+
+import numpy as np
+
 from . import create_eval_files, pose_proposal, seg2rsdb, segment_transfer
 from .fuse_models import fuse_models
+
+
+def _snap_arrangements_to_text(db) -> None:
+    """Round-trip every arrangement pose/score through the .rsdb text
+    precision ('%f', 6 decimals) so the in-memory state is IDENTICAL to
+    what a reload of the just-written checkpoint would give — the fused
+    in-memory path then produces byte-identical outputs to the
+    stage-per-process path."""
+    for arr in db.arrangements:
+        for j, p in enumerate(arr):
+            m = np.asarray(p.pose, np.float32)
+            rt = np.array([[float("%f" % float(m[r, c])) for c in range(4)]
+                           for r in range(4)], np.float32)
+            arr[j] = dataclasses.replace(p, pose=rt,
+                                         score=float("%f" % p.score))
 
 
 def list_subsequences(seq_gt_dir: str) -> List[str]:
@@ -34,7 +53,8 @@ def run_sequence(seq_dir: str, class_file: str,
                  surface_trimmer: Optional[str] = None,
                  eval_folder: Optional[str] = None,
                  verbose: bool = False,
-                 resume: bool = False) -> List[str]:
+                 resume: bool = False,
+                 in_memory: bool = True) -> List[str]:
     """Process one scene sequence; returns the list of produced .rsdb
     files (one per timestep).
 
@@ -42,6 +62,13 @@ def run_sequence(seq_dir: str, class_file: str,
     .rsdb database IS the pipeline's checkpoint format (every stage's
     state round-trips through it; SURVEY.md §5 checkpoint/resume), so a
     crashed run continues from the last completed timestep.
+
+    ``in_memory``: chain the stages through the in-memory database
+    instead of reloading every cloud from disk per stage (the reference
+    re-reads everything through its process boundaries; all files are
+    still written, so outputs and resumability are identical —
+    SURVEY.md §7.3). Old scene clouds are dropped as the sequence
+    advances to bound memory.
     """
     gt_dir = os.path.join(seq_dir, "gt_segmentation")
     subs = list_subsequences(gt_dir)
@@ -51,9 +78,21 @@ def run_sequence(seq_dir: str, class_file: str,
     produced = []
     first_ply = os.path.join(gt_dir, subs[0] + ".ply")
     prev_rsdb = os.path.join(seq_dir, subs[0] + ".rsdb")
+    db = None
     if not (resume and os.path.exists(prev_rsdb)):
-        seg2rsdb.main([first_ply, class_file, prev_rsdb] +
-                      (["-v"] if verbose else []))
+        db = seg2rsdb.run(first_ply, class_file, prev_rsdb, verbose)
+        if in_memory:
+            _snap_arrangements_to_text(db)
+            for s in db.scenes:
+                s.cloud = None
+            # seg2rsdb extracts object clouds without LoD levels (it only
+            # writes level 0); compute them now — identical to what a
+            # reload derives from the written level-0 points
+            for o in db.objects:
+                if o.cloud is not None and o.cloud.levels[1] is None:
+                    o.cloud.compute_levels()
+        else:
+            db = None
     produced.append(prev_rsdb)
 
     for sub in subs[1:]:
@@ -63,9 +102,22 @@ def run_sequence(seq_dir: str, class_file: str,
         if resume and os.path.exists(out_rsdb):
             prev_rsdb = out_rsdb
             produced.append(out_rsdb)
+            db = None   # state must come from the checkpoint on disk
             continue
-        pose_proposal.run(prev_rsdb, scan_ply, pp_rsdb, verbose)
-        segment_transfer.run(pp_rsdb, out_rsdb, verbose=verbose)
+        db = pose_proposal.run(prev_rsdb, scan_ply, pp_rsdb, verbose,
+                               db=db)
+        db = segment_transfer.run(pp_rsdb, out_rsdb, verbose=verbose,
+                                  db=db)
+        if in_memory:
+            # scene clouds are never read again after their timestep
+            # (only arrangement poses are); drop them ALL — bounds memory
+            # and removes any chance of stale in-memory scene state
+            # diverging from the on-disk checkpoint
+            for s in db.scenes:
+                s.cloud = None
+            _snap_arrangements_to_text(db)
+        else:
+            db = None
         if poisson_recon and surface_trimmer:
             fuse_models(poisson_recon, surface_trimmer,
                         os.path.join(seq_dir, sub))
@@ -96,6 +148,11 @@ def main(argv=None) -> int:
     ap.add_argument("--eval_folder", default=None)
     ap.add_argument("--resume", action="store_true",
                     help="skip timesteps whose .rsdb checkpoint exists")
+    ap.add_argument("--stage_reload", action="store_true",
+                    help="reload all state from disk between stages (the "
+                    "reference's process-boundary behavior) instead of the "
+                    "fused in-memory path; outputs are byte-identical "
+                    "either way")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace into this directory")
     ap.add_argument("--verbose", "-v", action="store_true")
@@ -120,7 +177,8 @@ def main(argv=None) -> int:
         for seq in sequences:
             run_sequence(os.path.join(base, seq), args.class_file,
                          poisson, trimmer, args.eval_folder, args.verbose,
-                         resume=args.resume)
+                         resume=args.resume,
+                         in_memory=not args.stage_reload)
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)

@@ -417,7 +417,12 @@ def non_maxima_suppression(db: rsdbio.Rsdb,
 
 
 def run(rsdb_filename: str, scene_filename: str, output_filename: str,
-        verbose: bool = False, save_outputs: bool = True) -> rsdbio.Rsdb:
+        verbose: bool = False, save_outputs: bool = True,
+        db: "rsdbio.Rsdb | None" = None) -> rsdbio.Rsdb:
+    """``db``: optional in-memory database from the previous stage — skips
+    the from-disk reload of every object/scene cloud (the reference
+    re-reads everything per stage through its process boundary; the fused
+    driver chains stages in memory, files still written — SURVEY §7.3)."""
     import jax
     import jax.numpy as jnp
 
@@ -431,8 +436,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         if verbose:
             print(f"PARALLEL: sharding over {mesh.devices.size} devices")
 
-    db = database.load_database(rsdb_filename, load_pointclouds=True,
-                                verbose=verbose)
+    if db is None:
+        db = database.load_database(rsdb_filename, load_pointclouds=True,
+                                    verbose=verbose)
     db.model_folder = paths.model_folder_name(output_filename)
     if verbose:
         print(f"IO:   N. Objects:      {len(db.objects)}")

@@ -79,6 +79,25 @@ def pointcloud_to_rsdb(in_db: rsdbio.Rsdb, cloud: PointCloud,
     return out
 
 
+def run(ply_filename: str, class_to_idx: str, out_rsdb_filename: str,
+        verbose: bool = False) -> rsdbio.Rsdb:
+    """Bootstrap the database and write it; returns the in-memory db so a
+    fused driver can chain stages without reloading (SURVEY §7.3)."""
+    t0 = time.perf_counter()
+    cloud = PointCloud.from_ply(ply_filename)
+    if verbose:
+        print(f"IO: Reading a ply file {ply_filename} with "
+              f"{cloud.n_pts(0)} points in {time.perf_counter() - t0:f}s.")
+
+    in_db = rsdbio.load_rsdb(class_to_idx)
+    out_db = pointcloud_to_rsdb(in_db, cloud, ply_filename,
+                                out_rsdb_filename, verbose)
+    with stage_timer("seg2rsdb.save", "Saving database took %fs.",
+                     verbose):
+        rsdbio.save_rsdb(out_rsdb_filename, out_db, save_objects=True)
+    return out_db
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="seg2rsdb",
@@ -88,19 +107,8 @@ def main(argv=None) -> int:
     ap.add_argument("out_rsdb_filename")
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
-
-    t0 = time.perf_counter()
-    cloud = PointCloud.from_ply(args.ply_filename)
-    if args.verbose:
-        print(f"IO: Reading a ply file {args.ply_filename} with "
-              f"{cloud.n_pts(0)} points in {time.perf_counter() - t0:f}s.")
-
-    in_db = rsdbio.load_rsdb(args.class_to_idx)
-    out_db = pointcloud_to_rsdb(in_db, cloud, args.ply_filename,
-                                args.out_rsdb_filename, args.verbose)
-    with stage_timer("seg2rsdb.save", "Saving database took %fs.",
-                     args.verbose):
-        rsdbio.save_rsdb(args.out_rsdb_filename, out_db, save_objects=True)
+    run(args.ply_filename, args.class_to_idx, args.out_rsdb_filename,
+        args.verbose)
     return 0
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 from typing import List
@@ -188,20 +189,31 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
 
 def run(input_db: str, output_db: str,
         opts: config.ArrangementOpts | None = None,
-        verbose: bool = False) -> rsdbio.Rsdb:
+        verbose: bool = False,
+        db: rsdbio.Rsdb | None = None) -> rsdbio.Rsdb:
+    """``db``: optional in-memory database from pose_proposal — skips the
+    from-disk reload of every cloud AND the pose-proposal .bin reread
+    (the fused driver's path; files on disk stay authoritative)."""
     opts = opts or config.ArrangementOpts()
     timings = {}
     t_run = time.perf_counter()
-    db = database.load_database(input_db, load_pointclouds=True,
-                                verbose=verbose)
+    if db is None:
+        db = database.load_database(input_db, load_pointclouds=True,
+                                    verbose=verbose)
     timings["io_load"] = time.perf_counter() - t_run
 
-    # load per-scene pose proposals (main.cpp:290-297)
+    # load per-scene pose proposals (main.cpp:290-297); in-memory dbs
+    # already carry the latest scene's proposals
     lo = opts.lower_idx
     hi = min(len(db.scenes), opts.upper_idx)
+    while len(db.proposed_poses) < len(db.scenes):
+        db.proposed_poses.append(None)
+        db.proposed_scores.append(None)
     for i in range(lo, hi):
         s = db.scenes[i]
-        if s.pose_proposal_filename:
+        if (s.pose_proposal_filename
+                and db.proposed_poses[i] is None
+                and os.path.exists(s.pose_proposal_filename)):
             p, sc = rsdbio.load_pose_proposals(s.pose_proposal_filename)
             db.proposed_poses[i] = p
             db.proposed_scores[i] = sc
