@@ -337,6 +337,93 @@ void rescan_plane_gather(const float* pts, const float* nrm, int64_t n,
   }
 }
 
+// Voxel-overlap occupancy counts for the host greedy NMS
+// (isect_get_overlap_factor, lib/rs/intersect.h:309-368; semantics
+// identical to the numpy engine in ops/voxel.py — grid [y][z][x], f32
+// subtract/divide/floor rasterization, per-slice even-odd scanline fill
+// along x and z in both directions, INSIDE where both directions agree).
+// out = {occupied_a, occupied_b, occupied_both}.
+namespace {
+void occ_from_points(const float* p, int64_t n, const float* origin,
+                     int X, int Y, int Z, float voxel, bool fill,
+                     std::vector<uint8_t>& g, std::vector<uint8_t>& occ) {
+  const int64_t cells = (int64_t)X * Y * Z;
+  g.assign(cells, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cx = clampi((int64_t)std::floor((p[3 * i] - origin[0]) / voxel),
+                        0, X - 1);
+    int64_t cy = clampi((int64_t)std::floor((p[3 * i + 1] - origin[1]) / voxel),
+                        0, Y - 1);
+    int64_t cz = clampi((int64_t)std::floor((p[3 * i + 2] - origin[2]) / voxel),
+                        0, Z - 1);
+    g[(cy * Z + cz) * X + cx] = 1;
+  }
+  occ.assign(cells, 0);
+  if (!fill) {
+    occ = g;
+    return;
+  }
+  std::vector<uint8_t> ix(cells), iz(cells);
+  for (int y = 0; y < Y; ++y) {
+    for (int z = 0; z < Z; ++z) {       // x scans within the (y, z) row
+      const int64_t base = ((int64_t)y * Z + z) * X;
+      int cnt = 0; uint8_t prev = 0;
+      for (int x = 0; x < X; ++x) {
+        uint8_t cur = g[base + x];
+        cnt += (cur == 0 && prev == 1);
+        ix[base + x] = (uint8_t)(cnt & 1);
+        prev = cur;
+      }
+      cnt = 0; prev = 0;
+      for (int x = X - 1; x >= 0; --x) {
+        uint8_t cur = g[base + x];
+        cnt += (cur == 0 && prev == 1);
+        ix[base + x] = ix[base + x] && (cnt & 1) && cur == 0;
+        prev = cur;
+      }
+    }
+    for (int x = 0; x < X; ++x) {       // z scans within the (y, x) column
+      const int64_t base = (int64_t)y * Z * X + x;
+      int cnt = 0; uint8_t prev = 0;
+      for (int z = 0; z < Z; ++z) {
+        uint8_t cur = g[base + (int64_t)z * X];
+        cnt += (cur == 0 && prev == 1);
+        iz[base + (int64_t)z * X] = (uint8_t)(cnt & 1);
+        prev = cur;
+      }
+      cnt = 0; prev = 0;
+      for (int z = Z - 1; z >= 0; --z) {
+        uint8_t cur = g[base + (int64_t)z * X];
+        cnt += (cur == 0 && prev == 1);
+        iz[base + (int64_t)z * X] =
+            iz[base + (int64_t)z * X] && (cnt & 1) && cur == 0;
+        prev = cur;
+      }
+    }
+  }
+  for (int64_t i = 0; i < cells; ++i)
+    occ[i] = g[i] || (ix[i] && iz[i]);
+}
+}  // namespace
+
+void rescan_overlap_counts(const float* pa, int64_t na, const float* pb,
+                           int64_t nb, const float* origin,
+                           const int32_t* res, float voxel,
+                           int32_t voxelize_inside, int64_t* out) {
+  const int X = res[0], Y = res[1], Z = res[2];
+  std::vector<uint8_t> g, occ_a, occ_b;
+  occ_from_points(pa, na, origin, X, Y, Z, voxel, voxelize_inside, g, occ_a);
+  occ_from_points(pb, nb, origin, X, Y, Z, voxel, voxelize_inside, g, occ_b);
+  int64_t ca = 0, cb = 0, cnt = 0;
+  const int64_t cells = (int64_t)X * Y * Z;
+  for (int64_t i = 0; i < cells; ++i) {
+    ca += occ_a[i];
+    cb += occ_b[i];
+    cnt += occ_a[i] && occ_b[i];
+  }
+  out[0] = ca; out[1] = cb; out[2] = cnt;
+}
+
 // The reference's deterministic merge shuffle: Fisher-Yates driven by a
 // fresh PCG32 (rs_pointcloud_merge, lib/rs/rs_pointcloud.h:383-446).
 // Bit-exact with utils/rng.MshRand: next_f32 yields the same real number

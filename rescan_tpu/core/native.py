@@ -57,6 +57,11 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_overlap_counts.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_float, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
     lib.rescan_merge_shuffle.argtypes = [
         ctypes.c_int64, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32)]
     lib.rescan_meanfield_icm.argtypes = [
@@ -151,6 +156,25 @@ def alias_build(weights: np.ndarray):
         prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return prob, alias
+
+
+def overlap_counts(pa: np.ndarray, pb: np.ndarray, origin: np.ndarray,
+                   res: np.ndarray, voxel: float, voxelize_inside: bool
+                   ) -> Tuple[int, int, int]:
+    """Occupancy counts (|A|, |B|, |A and B|) of two world-space point sets
+    on the union voxel grid (isect_get_overlap_factor semantics; engine
+    agreement with ops/voxel.py's numpy path is unit-tested)."""
+    lib = _load()
+    a = np.ascontiguousarray(pa, np.float32)
+    b = np.ascontiguousarray(pb, np.float32)
+    o = np.ascontiguousarray(origin, np.float32)
+    r = np.ascontiguousarray(res, np.int32)
+    out = np.empty(3, np.int64)
+    lib.rescan_overlap_counts(
+        _fptr(a), len(a), _fptr(b), len(b), _fptr(o), _iptr(r),
+        ctypes.c_float(voxel), int(voxelize_inside),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return int(out[0]), int(out[1]), int(out[2])
 
 
 def merge_shuffle(n: int, seed: int) -> np.ndarray:

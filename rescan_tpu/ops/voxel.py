@@ -18,6 +18,7 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -108,7 +109,8 @@ def overlap_factor(pc_a, pose_a: np.ndarray, pc_b, pose_b: np.ndarray,
                    voxel: float = config.NMS_OVERLAP_VOXEL,
                    voxelize_inside: bool = True,
                    normalize_by_smaller: bool = False,
-                   cached_a=None, cached_b=None) -> float:
+                   cached_a=None, cached_b=None,
+                   engine: str | None = None) -> float:
     """Voxel overlap of two posed clouds (isect_get_overlap_factor,
     intersect.h:309-368). ``pc_*`` are PointCloud objects. ``cached_*``
     optionally carry ``posed_points(pc, pose)`` results so repeated
@@ -125,21 +127,31 @@ def overlap_factor(pc_a, pose_a: np.ndarray, pc_b, pose_b: np.ndarray,
     cmax = np.maximum(amax, bmax)
     origin, res = grid_shape(cmin, cmax, voxel)
 
-    ga = rasterize_boundary(cached_a[0], pose_a, origin, res, voxel,
-                            pre_transformed=True)
-    gb = rasterize_boundary(cached_b[0], pose_b, origin, res, voxel,
-                            pre_transformed=True)
-    if voxelize_inside:
-        ga = fill_occupancy(ga)
-        gb = fill_occupancy(gb)
-        ca = int((ga > FREE).sum())
-        cb = int((gb > FREE).sum())
+    if engine is None:
+        engine = os.environ.get("RESCAN_ISECT_ENGINE", "native")
+    if engine == "native":
+        # host C++ kernel with identical semantics (NMS calls this in a
+        # greedy loop on the 1-core host VM; engine agreement unit-tested)
+        from ..core import native
+        ca, cb, cnt = native.overlap_counts(cached_a[0], cached_b[0],
+                                            origin, res, voxel,
+                                            voxelize_inside)
     else:
-        ca = int((ga == BOUNDARY).sum())
-        cb = int((gb == BOUNDARY).sum())
+        ga = rasterize_boundary(cached_a[0], pose_a, origin, res, voxel,
+                                pre_transformed=True)
+        gb = rasterize_boundary(cached_b[0], pose_b, origin, res, voxel,
+                                pre_transformed=True)
+        if voxelize_inside:
+            ga = fill_occupancy(ga)
+            gb = fill_occupancy(gb)
+            ca = int((ga > FREE).sum())
+            cb = int((gb > FREE).sum())
+        else:
+            ca = int((ga == BOUNDARY).sum())
+            cb = int((gb == BOUNDARY).sum())
 
-    both = (ga > FREE) & (gb > FREE)
-    cnt = int(both.sum())
+        both = (ga > FREE) & (gb > FREE)
+        cnt = int(both.sum())
     denom = min(ca, cb) if normalize_by_smaller else max(ca, cb)
     if denom <= 0:
         return 1.0

@@ -43,6 +43,29 @@ def test_overlap_factor_identity_and_disjoint(tmp_path):
     assert 0.0 < ov < 1.0
 
 
+def test_overlap_engine_agreement(tmp_path):
+    """The native overlap-counts kernel must match the numpy engine
+    EXACTLY (same rasterization floats, same even-odd fill) for random
+    relative poses, with and without interior fill."""
+    spec, _ = _tiny_pair(tmp_path)
+    pc = PointCloud.from_ply(str(tmp_path / "scan_000.ply"))
+    chair = pc.extract_by_ids(0, "instance_ids", [3], compute_levels=True)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(99)
+    for _ in range(12):
+        th = rng.random() * 6.28
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                              [-np.sin(th), 0, np.cos(th)]], np.float32)
+        T[:3, 3] = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+        for vi in (True, False):
+            a = voxel.overlap_factor(chair, eye, chair, T,
+                                     voxelize_inside=vi, engine="native")
+            b = voxel.overlap_factor(chair, eye, chair, T,
+                                     voxelize_inside=vi, engine="numpy")
+            assert a == b
+
+
 def test_occupancy_fill_box():
     """A hollow voxel box gets its interior filled."""
     g = np.zeros((8, 8, 8), np.uint8)
