@@ -36,6 +36,10 @@ struct Grid {
   int nx, ny, nz;
   std::vector<int32_t> cell_start;   // nx*ny*nz + 1
   std::vector<int32_t> order;        // point indices sorted by cell
+  // cell-ordered SoA coordinate copies: the radius-search inner loop
+  // reads them contiguously (vectorizable) instead of gathering
+  // pts[3 * order[s]]
+  std::vector<float> sx, sy, sz;
 };
 
 inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
@@ -72,6 +76,13 @@ void build_grid(const float* pts, int64_t n, float cell, Grid* g) {
   g->order.resize(n);
   std::vector<int32_t> cursor(g->cell_start.begin(), g->cell_start.end() - 1);
   for (int64_t i = 0; i < n; ++i) g->order[cursor[cid[i]]++] = (int32_t)i;
+  g->sx.resize(n); g->sy.resize(n); g->sz.resize(n);
+  for (int64_t s = 0; s < n; ++s) {
+    const int32_t j = g->order[s];
+    g->sx[s] = pts[3 * j + 0];
+    g->sy[s] = pts[3 * j + 1];
+    g->sz[s] = pts[3 * j + 2];
+  }
 }
 
 template <typename Fn>
@@ -243,24 +254,91 @@ void rescan_grid_radius_search(void* grid, const float* pts,
                                const float* queries, int64_t m, float radius,
                                int32_t k, int32_t* out_idx, float* out_d2,
                                int32_t* out_cnt) {
+  // k closest within strict radius, ordered by (d2, idx) — identical
+  // selection to a full sort of all candidates. The inner loop reads the
+  // grid's cell-ordered SoA coordinates contiguously and computes a
+  // chunk of distances branch-free (vectorized) before the (rare)
+  // candidate insertions; the partial_sort + per-query heap allocation
+  // of the previous version dominated the plane CC-split and smoothing
+  // graph builds on the 1-core host VM.
+  (void)pts;
   Grid* g = (Grid*)grid;
-#pragma omp parallel for schedule(dynamic, 256)
-  for (int64_t q = 0; q < m; ++q) {
-    std::vector<std::pair<float, int32_t>> cand;
-    for_neighbors(*g, pts, queries[3 * q], queries[3 * q + 1], queries[3 * q + 2],
-                  radius, [&](int32_t j, float d2) { cand.emplace_back(d2, j); });
-    int32_t cnt = (int32_t)std::min<size_t>(cand.size(), (size_t)k);
-    std::partial_sort(cand.begin(), cand.begin() + cnt, cand.end());
-    for (int32_t i = 0; i < k; ++i) {
-      if (i < cnt) {
-        out_idx[q * k + i] = cand[i].second;
-        out_d2[q * k + i] = cand[i].first;
-      } else {
-        out_idx[q * k + i] = -1;
-        out_d2[q * k + i] = 1e30f;
+  const float r2 = radius * radius;
+#pragma omp parallel
+  {
+    std::vector<float> bd(k);
+    std::vector<int32_t> bi(k);
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t q = 0; q < m; ++q) {
+      const float qx = queries[3 * q], qy = queries[3 * q + 1],
+                  qz = queries[3 * q + 2];
+      int32_t cnt = 0;
+      float cut = r2;
+      int span = (int)std::ceil(radius * g->inv_cell);
+      int cx = (int)clampi((int64_t)((qx - g->ox) * g->inv_cell), 0, g->nx - 1);
+      int cy = (int)clampi((int64_t)((qy - g->oy) * g->inv_cell), 0, g->ny - 1);
+      int cz = (int)clampi((int64_t)((qz - g->oz) * g->inv_cell), 0, g->nz - 1);
+      float buf[128];
+      for (int dy = -span; dy <= span; ++dy) {
+        int yy = cy + dy;
+        if (yy < 0 || yy >= g->ny) continue;
+        for (int dz = -span; dz <= span; ++dz) {
+          int zz = cz + dz;
+          if (zz < 0 || zz >= g->nz) continue;
+          {
+            // cells are x-contiguous in memory: the whole [cx-span,
+            // cx+span] run is ONE span of the cell-ordered arrays
+            const int x_lo = (int)clampi(cx - span, 0, g->nx - 1);
+            const int x_hi = (int)clampi(cx + span, 0, g->nx - 1);
+            const int64_t row = ((int64_t)yy * g->nz + zz) * g->nx;
+            const int32_t s0 = g->cell_start[row + x_lo];
+            const int32_t s1 = g->cell_start[row + x_hi + 1];
+            for (int32_t s = s0; s < s1; s += 128) {
+              const int len = (int)std::min<int32_t>(128, s1 - s);
+              const float* __restrict xs = g->sx.data() + s;
+              const float* __restrict ys = g->sy.data() + s;
+              const float* __restrict zs = g->sz.data() + s;
+              for (int t = 0; t < len; ++t) {
+                const float vx = xs[t] - qx, vy = ys[t] - qy, vz = zs[t] - qz;
+                buf[t] = vx * vx + vy * vy + vz * vz;
+              }
+              for (int t = 0; t < len; ++t) {
+                const float d2 = buf[t];
+                // cut tightens to the current worst-of-k once the list is
+                // full: in dense data the k nearest are far tighter than
+                // the radius, so most candidates exit on this one compare
+                if (d2 > cut) continue;
+                const int32_t j = g->order[s + t];
+                if (cnt == k) {
+                  if (d2 >= r2 || d2 > bd[k - 1] ||
+                      (d2 == bd[k - 1] && j >= bi[k - 1])) continue;
+                  --cnt;
+                } else if (d2 >= r2) {
+                  continue;
+                }
+                int p = cnt;
+                while (p > 0 && (bd[p - 1] > d2 ||
+                                 (bd[p - 1] == d2 && bi[p - 1] > j))) {
+                  bd[p] = bd[p - 1]; bi[p] = bi[p - 1]; --p;
+                }
+                bd[p] = d2; bi[p] = j; ++cnt;
+                if (cnt == k) cut = bd[k - 1];
+              }
+            }
+          }
+        }
       }
+      for (int32_t i = 0; i < k; ++i) {
+        if (i < cnt) {
+          out_idx[q * k + i] = bi[i];
+          out_d2[q * k + i] = bd[i];
+        } else {
+          out_idx[q * k + i] = -1;
+          out_d2[q * k + i] = 1e30f;
+        }
+      }
+      out_cnt[q] = cnt;
     }
-    out_cnt[q] = cnt;
   }
 }
 
@@ -270,19 +348,39 @@ void rescan_grid_radius_search(void* grid, const float* pts,
 void rescan_plane_counts(const float* pts, const uint8_t* active, int64_t n,
                          const float* normals, const float* offs,
                          int64_t n_cand, float dist, int32_t* counts) {
-#pragma omp parallel for schedule(dynamic, 8)
-  for (int64_t c = 0; c < n_cand; ++c) {
-    const float nx = normals[3 * c], ny = normals[3 * c + 1],
-                nz = normals[3 * c + 2], off = offs[c];
-    int32_t cnt = 0;
-    // branchless so the compiler vectorizes (the TPU-fronting host VM has
-    // a single core; SIMD is the only parallelism available)
-    for (int64_t p = 0; p < n; ++p) {
-      float d = pts[3 * p] * nx + pts[3 * p + 1] * ny + pts[3 * p + 2] * nz
-                - off;
-      cnt += (int32_t)(active[p] & (std::fabs(d) < dist));
+  // Blocked GEMM shape: a ~2k point block is compacted to active-only SoA
+  // (branchless strideless inner loop) and stays cache-resident while all
+  // candidates scan it — the candidate-outer version streamed the full
+  // point array n_cand times. SIMD is the only parallelism on the 1-core
+  // host VM; this loop is the RANSAC wall-clock.
+  for (int64_t c = 0; c < n_cand; ++c) counts[c] = 0;
+  const int64_t BP = 2048;
+  std::vector<float> bx(BP), by(BP), bz(BP);
+  for (int64_t p0 = 0; p0 < n; p0 += BP) {
+    const int64_t len = std::min(BP, n - p0);
+    int64_t m = 0;
+    for (int64_t t = 0; t < len; ++t) {
+      if (active && !active[p0 + t]) continue;
+      bx[m] = pts[3 * (p0 + t)];
+      by[m] = pts[3 * (p0 + t) + 1];
+      bz[m] = pts[3 * (p0 + t) + 2];
+      ++m;
     }
-    counts[c] = cnt;
+    if (!m) continue;
+#pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < n_cand; ++c) {
+      const float nx = normals[3 * c], ny = normals[3 * c + 1],
+                  nz = normals[3 * c + 2], off = offs[c];
+      const float* __restrict x = bx.data();
+      const float* __restrict y = by.data();
+      const float* __restrict z = bz.data();
+      int32_t cnt = 0;
+      for (int64_t t = 0; t < m; ++t) {
+        float d = x[t] * nx + y[t] * ny + z[t] * nz - off;
+        cnt += (int32_t)(std::fabs(d) < dist);
+      }
+      counts[c] += cnt;
+    }
   }
 }
 
@@ -424,6 +522,31 @@ void rescan_overlap_counts(const float* pa, int64_t na, const float* pb,
   out[0] = ca; out[1] = cb; out[2] = cnt;
 }
 
+// RANSAC triplet stream: n_iter index triplets drawn from the alias-method
+// distribution with the reference's rejection rules (walls resample b
+// while b==a and c while c==b, rs_pointcloud_filters.cpp:146-154; the
+// floor detector draws 3 independent samples, :214-218). Draw order is
+// bit-exact with utils/rng.MshDiscreteDistribution.sample, which was a
+// per-draw Python PCG32 step before.
+void rescan_ransac_triplets(const double* prob, const int64_t* alias,
+                            int64_t n, uint32_t seed, int64_t n_iter,
+                            int32_t reject_equal, int64_t* out_tri) {
+  MshRand rng(seed);
+  auto sample = [&]() -> int64_t {
+    int32_t col = rng.next_range(0, (int32_t)n - 1);
+    bool coin = (double)rng.next_f32() < prob[col];
+    return coin ? (int64_t)col : alias[col];
+  };
+  for (int64_t i = 0; i < n_iter; ++i) {
+    int64_t a = sample();
+    int64_t b = sample();
+    if (reject_equal) while (b == a) b = sample();
+    int64_t c = sample();
+    if (reject_equal) while (c == b) c = sample();
+    out_tri[3 * i] = a; out_tri[3 * i + 1] = b; out_tri[3 * i + 2] = c;
+  }
+}
+
 // The reference's deterministic merge shuffle: Fisher-Yates driven by a
 // fresh PCG32 (rs_pointcloud_merge, lib/rs/rs_pointcloud.h:383-446).
 // Bit-exact with utils/rng.MshRand: next_f32 yields the same real number
@@ -437,6 +560,26 @@ void rescan_merge_shuffle(int64_t n, uint32_t seed, int32_t* perm) {
     int32_t t = perm[i]; perm[i] = perm[j]; perm[j] = t;
   }
 }
+
+namespace {
+// exp(x) for the softmax's x <= 0 range via 2^(x*log2e) with a degree-6
+// series for the fractional power; |rel err| < 3e-7 — far below the f32
+// noise that separates mean-field beliefs, so engine agreement with the
+// JAX path holds (tests/test_energy_labels.py). ~10x faster than libm
+// expf on the 1-core host VM, which dominates the smoothing cost
+// (n_points * n_labels * n_iters exps).
+inline float fast_exp_neg(float x) {
+  if (x < -87.0f) return 0.0f;
+  float y = x * 1.44269504088896341f;
+  float n = std::floor(y + 0.5f);
+  float w = (y - n) * 0.69314718055994531f;  // |w| <= 0.3466
+  float p = 1.0f + w * (1.0f + w * (0.5f + w * (1.0f / 6.0f + w *
+            (1.0f / 24.0f + w * (1.0f / 120.0f + w * (1.0f / 720.0f))))));
+  union { uint32_t u; float f; } s;
+  s.u = (uint32_t)((int)n + 127) << 23;
+  return p * s.f;
+}
+}  // namespace
 
 // Mean-field + masked-ICM label smoothing over the Potts MRF — the host
 // engine for ops/labels.smooth_labels (the rebuild's designated
@@ -481,7 +624,7 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
       }
       float sum = 0.0f;
       for (int32_t l = 0; l < L; ++l) {
-        agree[l] = std::exp(agree[l] - mx);
+        agree[l] = fast_exp_neg(agree[l] - mx);
         sum += agree[l];
       }
       const float inv_sum = 1.0f / sum;

@@ -57,6 +57,10 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.rescan_ransac_triplets.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.rescan_overlap_counts.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -156,6 +160,23 @@ def alias_build(weights: np.ndarray):
         prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return prob, alias
+
+
+def ransac_triplets(prob: np.ndarray, alias: np.ndarray, seed: int,
+                    n_iter: int, reject_equal: bool) -> np.ndarray:
+    """(n_iter, 3) index triplets from the alias distribution, draw-order
+    bit-exact with utils/rng.MshDiscreteDistribution.sample; walls use
+    reject_equal (b!=a, c!=b re-draws, rs_pointcloud_filters.cpp:146-154)."""
+    lib = _load()
+    p = np.ascontiguousarray(prob, np.float64)
+    a = np.ascontiguousarray(alias, np.int64)
+    out = np.empty((n_iter, 3), np.int64)
+    lib.rescan_ransac_triplets(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(p),
+        ctypes.c_uint32(seed), n_iter, int(reject_equal),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def overlap_counts(pa: np.ndarray, pb: np.ndarray, origin: np.ndarray,

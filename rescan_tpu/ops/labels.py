@@ -88,33 +88,47 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             index_cache[obj_idx] = e
         return e
 
-    def assign(start: int, end: int, r: float):
-        for i in range(start, end):
-            p = sorted_arr[i]
-            obj = db.objects[p.object_idx].cloud
-            inv = np.linalg.inv(p.pose.astype(np.float64)).astype(np.float32)
-            q = pts @ inv[:3, :3].T + inv[:3, 3]
-            # normal "matrix" is the TRANSPOSE of the pose
-            # (rs_pointcloud_filters.cpp:751): R^T = R^-1 for rigid poses
-            qn = nrm @ p.pose[:3, :3].astype(np.float32)
-            # bbox prefilter: only scene points near the object can match
-            bmin = obj.pos(lvl).min(axis=0) - r
-            bmax = obj.pos(lvl).max(axis=0) + r
-            cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
-            if len(cand) == 0:
-                continue
-            # pad the query count to ONE per-scene bucket (far sentinels:
-            # whole padding blocks cost only the kernel prologue) — pow2
-            # of the scene level size, so every placement of every pass
-            # hits the same compiled program; per-placement pow2 buckets
-            # still compiled 3-5 kernel variants (~10-30 s each through
-            # the remote tunnel)
+    if prioritize_static:
+        r2 = radius
+    else:
+        r2 = config.LABEL_TRANSFER_STATIC_RADIUS_SCALE * radius
+
+    # precompute every placement's (inverse-transformed queries, bbox
+    # candidate set) so ONE query bucket — pow2 of the LARGEST candidate
+    # count — serves all launches of both passes. Both passes share one
+    # compiled program per object slab shape; bucketing by the candidate
+    # max (not the scene size) keeps the launch ~8x smaller while staying
+    # a single bucket per scene (per-placement pow2 buckets measured 3-5
+    # kernel variants at ~10-30 s of tunnel compile each).
+    plans = []
+    for i, p in enumerate(sorted_arr):
+        r = radius if i < first_static else r2
+        obj = db.objects[p.object_idx].cloud
+        inv = np.linalg.inv(p.pose.astype(np.float64)).astype(np.float32)
+        q = pts @ inv[:3, :3].T + inv[:3, 3]
+        # normal "matrix" is the TRANSPOSE of the pose
+        # (rs_pointcloud_filters.cpp:751): R^T = R^-1 for rigid poses
+        qn = nrm @ p.pose[:3, :3].astype(np.float32)
+        # bbox prefilter: only scene points near the object can match
+        bmin = obj.pos(lvl).min(axis=0) - r
+        bmax = obj.pos(lvl).max(axis=0) + r
+        cand = np.where(((q >= bmin) & (q <= bmax)).all(axis=1))[0]
+        plans.append((i, r, cand, q[cand], qn[cand]))
+    max_cand = max((len(c) for _, _, c, _, _ in plans), default=0)
+    mp = max(1 << int(np.ceil(np.log2(max(max_cand, 1)))), 256)
+
+    def assign(start: int, end: int):
+        for i, r, cand, qc, qnc in plans[start:end]:
             m = len(cand)
-            mp = max(1 << int(np.ceil(np.log2(max(n, 1)))), 256)
+            if m == 0:
+                continue
+            p = sorted_arr[i]
+            # far-sentinel padding: whole padding blocks cost only the
+            # kernel prologue
             qp = np.full((mp, 3), 1e6, np.float32)
-            qp[:m] = q[cand]
+            qp[:m] = qc
             qnp = np.zeros((mp, 3), np.float32)
-            qnp[:m] = qn[cand]
+            qnp[:m] = qnc
             # cos_gate -1: every neighbor passes, so this is the plain
             # nearest-in-radius, with the selected neighbor's |dot|
             idx, d2, dot = search_ops.nearest_gated(
@@ -132,13 +146,10 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             min_d2[ci] = nd2
             labels[ci] = i + 1
 
-    assign(0, first_static, radius)
+    assign(0, first_static)
     if prioritize_static:
         min_d2[:] = 1e9
-        r2 = radius
-    else:
-        r2 = config.LABEL_TRANSFER_STATIC_RADIUS_SCALE * radius
-    assign(first_static, len(sorted_arr), r2)
+    assign(first_static, len(sorted_arr))
 
     unlabelled_idx = db.class_idx("unlabelled")
     cls = np.full(n, unlabelled_idx, np.int32)
@@ -270,20 +281,35 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     icm_masks = (rng.random((n_icm, n_pad)) < 0.5)
 
     if engine == "native":
+        # renumber nodes along a Morton curve: scene points arrive in
+        # resample/shuffle order, so CSR neighbor gathers would be random
+        # DRAM accesses; spatial renumbering makes neighbor rows
+        # cache-resident (measured 2.6x on the bench-scale graph). Jacobi
+        # updates are node-order independent, so only float summation
+        # order shifts (engine agreement still holds).
+        from .pallas_nn import morton_order
+        perm = morton_order(scene.pos(lvl), cell=0.1)  # new -> old
+        inv = np.empty(n_real, np.int64)
+        inv[perm] = np.arange(n_real)
+        lab_s = labels0[perm]
         onehot = np.zeros((n_real, n_labels), np.float32)
-        onehot[np.arange(n_real), labels0] = 1.0
-        U = cost_of_point[:, None] * (1.0 - onehot)
+        onehot[np.arange(n_real), lab_s] = 1.0
+        U = cost_of_point[perm, None] * (1.0 - onehot)
         # symmetrized CSR adjacency (both directions of each unordered pair)
-        src2 = np.concatenate([edges[:, 0], edges[:, 1]])
-        dst2 = np.concatenate([edges[:, 1], edges[:, 0]])
+        e0 = inv[edges[:, 0]]
+        e1 = inv[edges[:, 1]]
+        src2 = np.concatenate([e0, e1])
+        dst2 = np.concatenate([e1, e0])
         w2 = np.concatenate([pair_w, pair_w])
         order = np.argsort(src2, kind="stable")
         off = np.zeros(n_real + 1, np.int64)
         np.cumsum(np.bincount(src2, minlength=n_real), out=off[1:])
         from ..core import native
-        labels = native.meanfield_icm(U, off, dst2[order], w2[order],
-                                      n_meanfield, 0.25, onehot,
-                                      icm_masks[:, :n_real])
+        labels_s = native.meanfield_icm(U, off, dst2[order], w2[order],
+                                        n_meanfield, 0.25, onehot,
+                                        icm_masks[:, :n_real][:, perm])
+        labels = np.empty(n_real, np.int32)
+        labels[perm] = labels_s
         L["class_ids"] = label_to_class[labels].astype(np.int32)
         L["instance_ids"] = label_to_inst[labels].astype(np.int32)
         return

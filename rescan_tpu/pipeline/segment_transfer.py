@@ -139,19 +139,27 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
         arr[i] = dataclasses.replace(arr[i], pose=T[k])
 
 
-def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
+def augment_database(db: rsdbio.Rsdb, scene_idx: int,
+                     timings: dict | None = None) -> None:
     """rsdu_augment_database (apps/segment_transfer/database_update.cpp:22-92):
     merge each placement's newly observed points (extracted from scene level
     1 by uidx) back into the object's canonical cloud, cloning the object
     when the uidx is novel; dynamic extractions are ICP-aligned to the model
     (0.05 m, 10 deg) before merging."""
     import jax.numpy as jnp
+    if timings is None:
+        timings = {}
+    timings.setdefault("aug_extract", 0.0)
+    timings.setdefault("aug_icp", 0.0)
+    timings.setdefault("aug_merge", 0.0)
     scene = db.scenes[scene_idx].cloud
     arr = db.arrangements[scene_idx]
     for ci, plc in enumerate(arr):
         obj = db.objects[plc.object_idx]
+        t0 = time.perf_counter()
         extracted = scene.extract_by_ids(1, "instance_ids", [plc.uidx],
                                          compute_levels=False)
+        timings["aug_extract"] += time.perf_counter() - t0
         print(f"DATABASE_AUGMENT: Working on placement {plc.uidx:3d} - "
               f"{obj.filename} | ({ci:3d}/{len(arr):3d})")
         if plc.uidx != obj.uidx:
@@ -168,6 +176,7 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
             continue
         xform = np.linalg.inv(plc.pose.astype(np.float64)).astype(np.float32)
         if not db.is_object_static(plc.object_idx):
+            t0 = time.perf_counter()
             model = obj.cloud
             grid = search.build_index(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
                                       normals=model.nrm(0))
@@ -178,6 +187,8 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
                 grid, jnp.asarray(xform[None]), config.AUGMENT_ICP_MAX_DIST,
                 np.deg2rad(config.AUGMENT_ICP_MAX_ANGLE_DEG))
             xform = np.asarray(T[0])
+            timings["aug_icp"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         extracted.transform(xform, compute_levels=False)
         extracted.levels[0]["instance_ids"][:] = 0
         obj.cloud.levels[0]["instance_ids"][:] = 1
@@ -185,6 +196,7 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int) -> None:
         for lvl in range(config.N_LEVELS):
             merged.levels[lvl]["instance_ids"][:] = plc.uidx
         obj.cloud = merged
+        timings["aug_merge"] += time.perf_counter() - t0
 
 
 def run(input_db: str, output_db: str,
@@ -239,11 +251,18 @@ def run(input_db: str, output_db: str,
         plane_models = planes.detect_planes(scene)
         planes.compute_plane_features(scene, plane_models)
         planes.classify_planes(scene, plane_models)
+        timings["sa_planes"] = time.perf_counter() - t0
+        t1 = time.perf_counter()
         compute_scene_saliency(db, time_idx)
+        timings["sa_saliency"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
         scene.compute_levels()
+        timings["sa_levels"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
         opts.n_past_steps = min(len(db.arrangements) - 1, opts.n_past_steps)
         ctx = energy.build_context(db, time_idx, db.proposed_poses[time_idx],
                                    db.proposed_scores[time_idx])
+        timings["sa_context"] = time.perf_counter() - t1
         timings["scene_analysis"] = time.perf_counter() - t0
         print(f"SCENE_ANALYSIS: done in {timings['scene_analysis']:f}s")
 
@@ -280,14 +299,19 @@ def run(input_db: str, output_db: str,
     t0 = time.perf_counter()
     scene = db.scenes[time_idx].cloud
     labels_ops.arrangement_to_labels(db, scene, db.arrangements[time_idx])
+    timings["label_assign"] = time.perf_counter() - t0
+    t1 = time.perf_counter()
     planes.relabel_walls_and_floors(db, scene, plane_models)
+    timings["label_relabel"] = time.perf_counter() - t1
+    t1 = time.perf_counter()
     labels_ops.smooth_labels(db, scene)
+    timings["label_smooth"] = time.perf_counter() - t1
     timings["label_transfer"] = time.perf_counter() - t0
     print(f"LABEL_TRANSFER: Segmentation finished in "
           f"{timings['label_transfer']:f}s.")
 
     t0 = time.perf_counter()
-    augment_database(db, time_idx)
+    augment_database(db, time_idx, timings=timings)
     timings["augment"] = time.perf_counter() - t0
     print(f"LABEL_TRANSFER: Database augmentation finished in "
           f"{timings['augment']:f}s.")

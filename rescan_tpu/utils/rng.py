@@ -61,11 +61,15 @@ class MshRand:
         return (self.next_u32() >> 9) * (1.0 / 8388608.0)
 
     def next_range(self, lo: int, hi: int) -> int:
-        # msh_rand_range (msh_std.h:1464-1470): inclusive range via float scale
+        # msh_rand_range (msh_std.h:1464-1470): inclusive range via float
+        # scale. The reference multiplies in f32 — replicate that rounding
+        # (an f64 product truncates differently for ~0.4% of draws at
+        # 1e5-sized ranges), keeping this stream bit-exact with both the
+        # reference and the native rescan_ransac_triplets sampler.
         rng = (hi - lo) + 1
         if rng <= 0:
             return lo
-        return lo + int(self.next_f32() * rng)
+        return lo + int(np.float32(self.next_f32()) * np.float32(rng))
 
 
 class MshDiscreteDistribution:
