@@ -522,6 +522,48 @@ void rescan_overlap_counts(const float* pa, int64_t na, const float* pb,
   out[0] = ca; out[1] = cb; out[2] = cnt;
 }
 
+// FastEnergy hot helpers (ops/energy.py): one SA swap performs up to five
+// set() calls, each recomputing a pair-penalty row and a coverage-count
+// delta; at ~10-element sizes the numpy dispatch overhead (~35 us/row)
+// IS the simulated-annealing wall-clock on the 1-core host.
+// 0.5*(exp(-sqrt(qa)/(2s^2)) + exp(-sqrt(qb)/(2s^2))) of one placement
+// gaussian vs a batch — formula of arrangement_optimization.cpp:248-310.
+void rescan_pair_penalties(const double* cent, const double* sig_inv,
+                           const double* cents, const double* sig_invs,
+                           int64_t n, double mah_scale, double* out) {
+  const double k = -1.0 / (2.0 * mah_scale * mah_scale);
+  for (int64_t i = 0; i < n; ++i) {
+    const double d0 = 0.5 * (cents[3 * i + 0] - cent[0]);
+    const double d1 = 0.5 * (cents[3 * i + 1] - cent[1]);
+    const double d2 = 0.5 * (cents[3 * i + 2] - cent[2]);
+    const double* S = sig_invs + 9 * i;
+    double qa = sig_inv[0] * d0 * d0 + sig_inv[4] * d1 * d1
+                + sig_inv[8] * d2 * d2
+                + 2.0 * (sig_inv[1] * d0 * d1 + sig_inv[2] * d0 * d2
+                         + sig_inv[5] * d1 * d2);
+    double qb = S[0] * d0 * d0 + S[4] * d1 * d1 + S[8] * d2 * d2
+                + 2.0 * (S[1] * d0 * d1 + S[2] * d0 * d2 + S[5] * d1 * d2);
+    double ea = std::exp(k * std::sqrt(qa > 0.0 ? qa : 0.0));
+    double eb = std::exp(k * std::sqrt(qb > 0.0 ? qb : 0.0));
+    out[i] = 0.5 * (ea + eb);
+  }
+}
+
+// Coverage-count update over UNIQUE cell id lists: subtract the old
+// placement's cells, add the new one's; returns the covered-cell delta
+// (old cells count when they drop to 0, new cells when they rise from 0 —
+// the exact order of FastEnergy.set()).
+int64_t rescan_cov_update(int32_t* cnt, const int64_t* old_cells,
+                          int64_t n_old, const int64_t* new_cells,
+                          int64_t n_new) {
+  int64_t delta = 0;
+  for (int64_t i = 0; i < n_old; ++i)
+    if (--cnt[old_cells[i]] == 0) --delta;
+  for (int64_t i = 0; i < n_new; ++i)
+    if (cnt[new_cells[i]]++ == 0) ++delta;
+  return delta;
+}
+
 // RANSAC triplet stream: n_iter index triplets drawn from the alias-method
 // distribution with the reference's rejection rules (walls resample b
 // while b==a and c while c==b, rs_pointcloud_filters.cpp:146-154; the

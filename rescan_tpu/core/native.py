@@ -57,6 +57,16 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    # raw-address argtypes: these two sit on the SA per-iteration path,
+    # where ctypes' POINTER cast machinery (~2 us/arg) would dominate the
+    # native work; callers pass ndarray.ctypes.data ints
+    lib.rescan_pair_penalties.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_void_p]
+    lib.rescan_cov_update.restype = ctypes.c_int64
+    lib.rescan_cov_update.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.rescan_ransac_triplets.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64, ctypes.c_int32,
@@ -160,6 +170,31 @@ def alias_build(weights: np.ndarray):
         prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return prob, alias
+
+
+def pair_penalties(cent: np.ndarray, sig_inv: np.ndarray, cents: np.ndarray,
+                   sig_invs: np.ndarray, mah_scale: float) -> np.ndarray:
+    """One placement's 0.5*(ea+eb) midpoint-Mahalanobis penalties vs a
+    batch (FastEnergy's per-set row; all inputs must be contiguous f64 —
+    they are by construction in ops/energy.py, and this wrapper skips the
+    copy checks because it sits on the SA per-iteration path)."""
+    lib = _load()
+    n = len(cents)
+    out = np.empty(n, np.float64)
+    lib.rescan_pair_penalties(
+        cent.ctypes.data, sig_inv.ctypes.data, cents.ctypes.data,
+        sig_invs.ctypes.data, n, mah_scale, out.ctypes.data)
+    return out
+
+
+def cov_update(cnt: np.ndarray, old_cells: np.ndarray,
+               new_cells: np.ndarray) -> int:
+    """Apply -1 over old_cells then +1 over new_cells (unique int64 ids)
+    to the int32 count grid; returns the covered-cell delta."""
+    lib = _load()
+    return int(lib.rescan_cov_update(
+        cnt.ctypes.data, old_cells.ctypes.data, len(old_cells),
+        new_cells.ctypes.data, len(new_cells)))
 
 
 def ransac_triplets(prob: np.ndarray, alias: np.ndarray, seed: int,

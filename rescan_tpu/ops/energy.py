@@ -35,9 +35,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .. import config
+from ..core import native
 from ..io.rsdb import Placement, Rsdb
 from ..utils import rng as mshrng
 
+
+_EMPTY_CELLS = np.zeros(0, np.int64)
 
 # ---------------------------------------------------------------------------
 # Coverage grid context
@@ -469,8 +472,9 @@ class FastEnergy:
                         ) -> np.ndarray:
         """0.5*(ea+eb) of one placement vs a batch (:248-310). The 3x3
         quadratic forms are hand-expanded (d S d = S00 d0^2 + ... +
-        2 S01 d0 d1 + ...) — einsum's dispatch overhead dominates at these
-        sizes (n is the arrangement length, a handful)."""
+        2 S01 d0 d1 + ...). numpy ORACLE for native.pair_penalties, which
+        the mutators call (at arrangement sizes numpy dispatch overhead
+        was the SA wall-clock); agreement is unit-tested."""
         if len(cents) == 0:
             return np.zeros(0, np.float64)
         # mid - cent == cents - mid == 0.5 * (cents - cent): one delta
@@ -499,13 +503,13 @@ class FastEnergy:
         self._grow(n + 1)
         cells = self._sal_cells(p)
         if len(cells):
-            self._n_cov += int((self._cnt[cells] == 0).sum())
-            self._cnt[cells] += 1
+            self._n_cov += native.cov_update(self._cnt, _EMPTY_CELLS, cells)
         cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
         self._cents[n] = cent
         self._sig_invs[n] = sig_inv
-        pen = self._pair_penalties(np.asarray(cent), np.asarray(sig_inv),
-                                   self._cents[:n], self._sig_invs[:n])
+        pen = native.pair_penalties(cent, sig_inv, self._cents[:n],
+                                    self._sig_invs[:n],
+                                    config.ISECT_MAHALANOBIS_SCALE)
         self._pen[n, :n] = pen
         self._pen[:n, n] = pen
         self._f.append(self._placement_f(p))
@@ -518,8 +522,7 @@ class FastEnergy:
         removed = self.items[idx]
         cells = self._sal_cells(removed)
         if len(cells):
-            self._cnt[cells] -= 1
-            self._n_cov -= int((self._cnt[cells] == 0).sum())
+            self._n_cov += native.cov_update(self._cnt, cells, _EMPTY_CELLS)
         last = n - 1
         if idx != last:
             self.items[idx] = self.items[last]
@@ -539,19 +542,16 @@ class FastEnergy:
         """Replace items[idx] in place (move/replace/swap actions)."""
         old = self.items[idx]
         old_cells = self._sal_cells(old)
-        if len(old_cells):
-            self._cnt[old_cells] -= 1
-            self._n_cov -= int((self._cnt[old_cells] == 0).sum())
         cells = self._sal_cells(p)
-        if len(cells):
-            self._n_cov += int((self._cnt[cells] == 0).sum())
-            self._cnt[cells] += 1
+        if len(old_cells) or len(cells):
+            self._n_cov += native.cov_update(self._cnt, old_cells, cells)
         cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
         self._cents[idx] = cent
         self._sig_invs[idx] = sig_inv
         n = len(self.items)
-        pen = self._pair_penalties(np.asarray(cent), np.asarray(sig_inv),
-                                   self._cents[:n], self._sig_invs[:n])
+        pen = native.pair_penalties(cent, sig_inv, self._cents[:n],
+                                    self._sig_invs[:n],
+                                    config.ISECT_MAHALANOBIS_SCALE)
         pen[idx] = 0.0
         self._pen[idx, :n] = pen
         self._pen[:n, idx] = pen
@@ -622,9 +622,9 @@ class FastEnergy:
             if n:
                 for j, p in enumerate(proposals):
                     cent, sig_inv = placement_gaussian(self.ctx, self.db, p)
-                    pr = self._pair_penalties(
-                        np.asarray(cent), np.asarray(sig_inv),
-                        self._cents[:n], self._sig_invs[:n])
+                    pr = native.pair_penalties(
+                        cent, sig_inv, self._cents[:n], self._sig_invs[:n],
+                        config.ISECT_MAHALANOBIS_SCALE)
                     pen_new[j] = pr.max()
             out += w_isect * (1.0 - np.maximum(base_max, pen_new))
 

@@ -133,6 +133,42 @@ def test_batched_greedy_matches_per_candidate(rich_db):
         assert batched[j] == pytest.approx(ref, rel=1e-9, abs=1e-12)
 
 
+def test_native_pair_penalties_matches_numpy_oracle():
+    """native.pair_penalties (the SA mutators' path) vs the numpy
+    _pair_penalties oracle: same formula, f64 elementwise — near-exact."""
+    from rescan_tpu.core import native
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 7, 40):
+        cent = rng.standard_normal(3)
+        A = rng.standard_normal((3, 3))
+        sig_inv = A @ A.T
+        cents = np.ascontiguousarray(rng.standard_normal((n, 3)))
+        Bs = rng.standard_normal((n, 3, 3))
+        sig_invs = np.ascontiguousarray(np.einsum("nij,nkj->nik", Bs, Bs))
+        a = native.pair_penalties(cent, sig_inv, cents, sig_invs,
+                                  config.ISECT_MAHALANOBIS_SCALE)
+        b = energy.FastEnergy._pair_penalties(cent, sig_inv, cents, sig_invs)
+        np.testing.assert_allclose(a, b, rtol=1e-13, atol=0)
+
+
+def test_native_cov_update_matches_numpy():
+    from rescan_tpu.core import native
+
+    rng = np.random.default_rng(6)
+    cnt = rng.integers(0, 3, 500).astype(np.int32)
+    old = np.unique(rng.integers(0, 500, 80))
+    new = np.unique(rng.integers(0, 500, 90))
+    ref = cnt.copy()
+    ref[old] -= 1
+    d = -int((ref[old] == 0).sum())
+    d += int((ref[new] == 0).sum())
+    ref[new] += 1
+    got = native.cov_update(cnt, old, new)
+    assert got == d
+    np.testing.assert_array_equal(cnt, ref)
+
+
 def test_past_invalidation(rich_db):
     """Mutating a past arrangement's uidx (what _linearize_ids does) must
     change hysteresis after invalidate_past()."""
