@@ -117,7 +117,12 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
     max_cand = max((len(c) for _, _, c, _, _ in plans), default=0)
     mp = max(1 << int(np.ceil(np.log2(max(max_cand, 1)))), 256)
 
-    def assign(start: int, end: int):
+    def submit(start: int, end: int):
+        """Dispatch every placement's gated-NN launch without fetching —
+        JAX async dispatch overlaps the device work across placements; the
+        merge below fetches in placement order, so the running-min claim
+        semantics are untouched."""
+        pend = []
         for i, r, cand, qc, qnc in plans[start:end]:
             m = len(cand)
             if m == 0:
@@ -134,6 +139,11 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             idx, d2, dot = search_ops.nearest_gated(
                 obj_index(p.object_idx), jnp.asarray(qp),
                 jnp.asarray(qnp), r, -1.0, use_abs_dot=True)
+            pend.append((i, cand, m, idx, d2, dot))
+        return pend
+
+    def merge(pend):
+        for i, cand, m, idx, d2, dot in pend:
             idx = np.asarray(idx)[:m]
             nd2 = np.asarray(d2)[:m]
             dot = np.asarray(dot)[:m]
@@ -146,10 +156,10 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             min_d2[ci] = nd2
             labels[ci] = i + 1
 
-    assign(0, first_static)
+    merge(submit(0, first_static))
     if prioritize_static:
         min_d2[:] = 1e9
-    assign(first_static, len(sorted_arr))
+    merge(submit(first_static, len(sorted_arr)))
 
     unlabelled_idx = db.class_idx("unlabelled")
     cls = np.full(n, unlabelled_idx, np.int32)
