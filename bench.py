@@ -115,12 +115,14 @@ def main():
     t0 = time.perf_counter()
     prepare_inputs()
     timed_run("warmup")          # compile warm-up
-    # min of two steady-state runs (timeit convention): the remote-tunnel
-    # runtime jitters +-15-20% run to run, and the minimum is the stable
-    # estimator of the pipeline's actual cost
+    # min of up to three steady-state runs (timeit convention): the
+    # remote-tunnel runtime jitters +-15-20% run to run, and the minimum
+    # is the stable estimator of the pipeline's actual cost
     secs = timed_run("measured", save_outputs=True)
-    if time.perf_counter() - t0 < 420:
-        secs = min(secs, timed_run("measured2"))
+    n_runs = 1
+    while time.perf_counter() - t0 < 420 and n_runs < 3:
+        secs = min(secs, timed_run(f"measured{n_runs + 1}"))
+        n_runs += 1
     # the segment_transfer profile is informational (no C++ baseline
     # exists for it); skip it when cold XLA compiles ate the budget so the
     # headline JSON line always lands within the harness timeout

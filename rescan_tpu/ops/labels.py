@@ -84,7 +84,8 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
         if e is None:
             obj = db.objects[obj_idx].cloud
             e = search_ops.build_index(obj.pos(lvl), max_r,
-                                       normals=obj.nrm(lvl))
+                                       normals=obj.nrm(lvl),
+                                       tile_bucket="pow2")
             index_cache[obj_idx] = e
         return e
 

@@ -204,7 +204,8 @@ class SortedSlab:
 
 
 def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
-                      cell: float = 0.4) -> SortedSlab:
+                      cell: float = 0.4,
+                      tile_bucket: str = "m16") -> SortedSlab:
     pts = np.asarray(points, np.float32)
     nrm = np.asarray(normals, np.float32)
     n = len(pts)
@@ -236,11 +237,26 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
         segments = [(0, 0)]
 
     segments.append((n, n))  # trailing EMPTY sentinel tile (all padding)
-    # bucket the tile count to a multiple of 16: distinct point counts
-    # otherwise compile distinct kernels, and the remote-tunnel XLA compile
-    # costs 10-100x the launch (empty tiles have far bounds -> skipped)
-    while len(segments) % 16:
-        segments.append((n, n))
+    # bucket the tile count: distinct tile counts compile distinct kernels,
+    # and the remote-tunnel XLA compile costs 10-100x the launch. Two
+    # policies (empty tiles have far bounds -> skipped in the distance
+    # loop, but every query block still SCANS all tile bounds, so padding
+    # is not free):
+    #   m16  — multiple of 16; scene-scale indexes, where the headline
+    #          scoring/ICP kernels' per-block bounds scan makes +45% tile
+    #          padding measurably slower (28.6 vs 24.9 s headline), and
+    #          one scene means few variants anyway.
+    #   pow2 — next power of two; per-MODEL indexes (label transfer,
+    #          augment, parity tools), whose point counts grow every
+    #          timestep and would otherwise churn a fresh compile per
+    #          model per timestep.
+    if tile_bucket == "pow2":
+        n_bucket = max(16, 1 << int(np.ceil(np.log2(max(len(segments), 1)))))
+        while len(segments) < n_bucket:
+            segments.append((n, n))
+    else:
+        while len(segments) % 16:
+            segments.append((n, n))
     n_tiles = len(segments)
     n_pad = n_tiles * SCENE_TILE
     slab = np.zeros((8, n_pad), np.float32)

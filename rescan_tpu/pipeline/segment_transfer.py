@@ -179,7 +179,8 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int,
             t0 = time.perf_counter()
             model = obj.cloud
             grid = search.build_index(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
-                                      normals=model.nrm(0))
+                                      normals=model.nrm(0),
+                                      tile_bucket="pow2")
             pts_b, nrm_b, mask_b = icp.pad_batch(
                 [extracted.pos(0)], [extracted.nrm(0)])
             T, _ = icp.icp_align_batched(
