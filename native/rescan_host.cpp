@@ -522,6 +522,77 @@ void rescan_overlap_counts(const float* pa, int64_t na, const float* pb,
   out[0] = ca; out[1] = cb; out[2] = cnt;
 }
 
+// Smoothing-graph post-pass (ops/labels.build_smoothing_graph): turn the
+// (n, k) radius-kNN result into deduped unordered edges with the
+// reference's weights w = (1 - (d2/(4 r^2))^dist_exp) * clip(dot,0,1)^
+// angle_exp (rspf_compute_neighborhood, rs_pointcloud_filters.cpp:674-722).
+// Skips each query's first (self) neighbor like the reference; dedup via
+// an open-addressing set on the unordered pair key. Returns the edge count.
+int64_t rescan_smooth_graph(const int32_t* idx, const float* d2,
+                            const float* nrm, int64_t n, int32_t k,
+                            float r2, int32_t dist_exp, int32_t angle_exp,
+                            int32_t* out_src, int32_t* out_dst,
+                            float* out_w) {
+  uint64_t cap = 1;
+  while (cap < (uint64_t)(n * k) * 2u) cap <<= 1;
+  std::vector<uint64_t> table(cap, ~0ull);
+  const uint64_t mask = cap - 1;
+  const float denom = 4.0f * r2;
+  int64_t e = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t c = 1; c < k; ++c) {   // c = 0 is the query itself
+      const int32_t j = idx[i * k + c];
+      if (j < 0) continue;
+      const uint64_t a = (uint64_t)(i < j ? i : j);
+      const uint64_t b = (uint64_t)(i < j ? j : i);
+      const uint64_t key = a * (uint64_t)n + b;
+      uint64_t h = (key * 0x9E3779B97F4A7C15ull) & mask;
+      bool dup = false;
+      while (table[h] != ~0ull) {
+        if (table[h] == key) { dup = true; break; }
+        h = (h + 1) & mask;
+      }
+      if (dup) continue;
+      table[h] = key;
+      const float dd = d2[i * k + c];
+      float t = dd / denom;
+      float dist_cost = 1.0f - std::pow(t, (float)dist_exp);
+      float dot = nrm[3 * i] * nrm[3 * j] + nrm[3 * i + 1] * nrm[3 * j + 1]
+                  + nrm[3 * i + 2] * nrm[3 * j + 2];
+      dot = dot < 0.0f ? 0.0f : (dot > 1.0f ? 1.0f : dot);
+      out_src[e] = (int32_t)i;
+      out_dst[e] = j;
+      out_w[e] = dist_cost * std::pow(dot, (float)angle_exp);
+      ++e;
+    }
+  }
+  return e;
+}
+
+// Symmetrized CSR from an unordered edge list: both directions of every
+// edge, neighbors within a node in the stable order (all direction-1
+// entries in edge order, then direction-2) — identical to the numpy
+// concatenate + stable-argsort it replaces.
+void rescan_csr_from_edges(const int32_t* src, const int32_t* dst,
+                           const float* w, int64_t n_edges, int64_t n,
+                           int64_t* off, int32_t* nbr, float* wout) {
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t e = 0; e < n_edges; ++e) { ++deg[src[e]]; ++deg[dst[e]]; }
+  off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) off[i + 1] = off[i] + deg[i];
+  std::vector<int64_t> cur(off, off + n);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int64_t p = cur[src[e]]++;
+    nbr[p] = dst[e];
+    wout[p] = w[e];
+  }
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int64_t p = cur[dst[e]]++;
+    nbr[p] = src[e];
+    wout[p] = w[e];
+  }
+}
+
 // FastEnergy hot helpers (ops/energy.py): one SA swap performs up to five
 // set() calls, each recomputing a pair-penalty row and a coverage-count
 // delta; at ~10-element sizes the numpy dispatch overhead (~35 us/row)
@@ -641,6 +712,14 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
                           int64_t n, int32_t L, int32_t n_mf, float inv_temp,
                           const float* Q0, int32_t n_icm,
                           const uint8_t* icm_mask, int32_t* labels) {
+#ifdef __SSE__
+  // flush-to-zero + denormals-are-zero, like XLA's CPU float environment:
+  // confident labels drive damped beliefs toward 1e-40 and the denormal
+  // microcode penalty measured 3x on the whole kernel (values that tiny
+  // are sub-noise for the energies). Restored before returning.
+  const unsigned csr_saved = __builtin_ia32_stmxcsr();
+  __builtin_ia32_ldmxcsr(csr_saved | 0x8040u);
+#endif
   std::vector<float> Q(Q0, Q0 + n * L), Qn((size_t)n * L);
   std::vector<float> wsum(n, 0.0f);
   for (int64_t i = 0; i < n; ++i)
@@ -705,6 +784,9 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
     lab.swap(lab2);
   }
   std::memcpy(labels, lab.data(), n * sizeof(int32_t));
+#ifdef __SSE__
+  __builtin_ia32_ldmxcsr(csr_saved);
+#endif
 }
 
 // Union-find with path halving over an undirected edge list; labels_out

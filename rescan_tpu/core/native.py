@@ -60,6 +60,18 @@ def _load():
     # raw-address argtypes: these two sit on the SA per-iteration path,
     # where ctypes' POINTER cast machinery (~2 us/arg) would dominate the
     # native work; callers pass ndarray.ctypes.data ints
+    lib.rescan_smooth_graph.restype = ctypes.c_int64
+    lib.rescan_smooth_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.rescan_csr_from_edges.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
     lib.rescan_pair_penalties.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_double, ctypes.c_void_p]
@@ -170,6 +182,45 @@ def alias_build(weights: np.ndarray):
         prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return prob, alias
+
+
+def smooth_graph(idx: np.ndarray, d2: np.ndarray, nrm: np.ndarray,
+                 r2: float, dist_exp: int, angle_exp: int):
+    """Deduped unordered smoothing edges + weights from an (n, k)
+    radius-kNN result (rspf_compute_neighborhood weight formula)."""
+    lib = _load()
+    n, k = idx.shape
+    ii = np.ascontiguousarray(idx, np.int32)
+    dd = np.ascontiguousarray(d2, np.float32)
+    nn = np.ascontiguousarray(nrm, np.float32)
+    cap = n * k
+    src = np.empty(cap, np.int32)
+    dst = np.empty(cap, np.int32)
+    w = np.empty(cap, np.float32)
+    e = lib.rescan_smooth_graph(_iptr(ii), _fptr(dd), _fptr(nn), n, k,
+                                ctypes.c_float(r2), int(dist_exp),
+                                int(angle_exp), _iptr(src), _iptr(dst),
+                                _fptr(w))
+    return (np.stack([src[:e], dst[:e]], 1), w[:e].copy())
+
+
+def csr_from_edges(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                   n: int):
+    """Symmetrized CSR (off, nbr, w) from unordered edges, neighbor order
+    identical to the numpy concatenate + stable-argsort build."""
+    lib = _load()
+    E = len(src)
+    s = np.ascontiguousarray(src, np.int32)
+    d = np.ascontiguousarray(dst, np.int32)
+    ww = np.ascontiguousarray(w, np.float32)
+    off = np.empty(n + 1, np.int64)
+    nbr = np.empty(2 * E, np.int32)
+    wout = np.empty(2 * E, np.float32)
+    lib.rescan_csr_from_edges(
+        _iptr(s), _iptr(d), _fptr(ww), E, n,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _iptr(nbr),
+        _fptr(wout))
+    return off, nbr, wout
 
 
 def pair_penalties(cent: np.ndarray, sig_inv: np.ndarray, cents: np.ndarray,

@@ -193,6 +193,7 @@ def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
     pts = scene.pos(lvl)
     nrm = scene.nrm(lvl)
     r = config.SMOOTH_RADIUS
+    from ..core import native
     if jax.default_backend() == "cpu":
         import jax.numpy as jnp
 
@@ -204,26 +205,14 @@ def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
         idx = np.asarray(idx)
         d2 = np.asarray(d2)
     else:
-        from ..core import native
         grid = native.HostGrid(pts, r)
         idx, d2, cnt = grid.radius_search(pts, r, config.SMOOTH_MAX_NN)
-    n, k = idx.shape
-    src = np.repeat(np.arange(n, dtype=np.int64), k)
-    dst = idx.reshape(-1).astype(np.int64)
-    dd = d2.reshape(-1)
-    # the reference skips each query's first (sorted) neighbor — itself
-    valid = (dst >= 0) & (np.arange(k)[None, :].repeat(n, 0).reshape(-1) >= 1)
-    src, dst, dd = src[valid], dst[valid], dd[valid]
-    r2 = np.float32(r * r)
-    dist_cost = 1.0 - (dd / (4.0 * r2)) ** config.SMOOTH_DIST_EXP
-    dots = np.clip(np.sum(nrm[src] * nrm[dst], axis=1), 0.0, 1.0)
-    w = dist_cost * dots ** config.SMOOTH_ANGLE_EXP
-    a = np.minimum(src, dst)
-    b = np.maximum(src, dst)
-    key = a * n + b
-    _, first = np.unique(key, return_index=True)
-    return (np.stack([src[first], dst[first]], 1).astype(np.int32),
-            w[first].astype(np.float32))
+    # shared post-pass (skip-self, dedup, reference weights) in the native
+    # lib — the numpy masks/unique over the 2.4M directed entries cost
+    # ~2.5 s of the smoothing budget on the 1-core host
+    return native.smooth_graph(idx, d2, nrm, np.float32(r * r),
+                               config.SMOOTH_DIST_EXP,
+                               config.SMOOTH_ANGLE_EXP)
 
 
 def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
@@ -307,16 +296,10 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
         onehot[np.arange(n_real), lab_s] = 1.0
         U = cost_of_point[perm, None] * (1.0 - onehot)
         # symmetrized CSR adjacency (both directions of each unordered pair)
-        e0 = inv[edges[:, 0]]
-        e1 = inv[edges[:, 1]]
-        src2 = np.concatenate([e0, e1])
-        dst2 = np.concatenate([e1, e0])
-        w2 = np.concatenate([pair_w, pair_w])
-        order = np.argsort(src2, kind="stable")
-        off = np.zeros(n_real + 1, np.int64)
-        np.cumsum(np.bincount(src2, minlength=n_real), out=off[1:])
         from ..core import native
-        labels_s = native.meanfield_icm(U, off, dst2[order], w2[order],
+        off, nbr, w2 = native.csr_from_edges(
+            inv[edges[:, 0]], inv[edges[:, 1]], pair_w, n_real)
+        labels_s = native.meanfield_icm(U, off, nbr, w2,
                                         n_meanfield, 0.25, onehot,
                                         icm_masks[:, :n_real][:, perm])
         labels = np.empty(n_real, np.int32)
