@@ -721,22 +721,41 @@ def greedy_step(ctx: EnergyContext, db: Rsdb, scene_idx: int,
 
 
 def greedy_optimize(ctx: EnergyContext, db: Rsdb, scene_idx: int,
-                    opts: config.ArrangementOpts) -> None:
+                    opts: config.ArrangementOpts, trace_fp=None) -> None:
     """The greedy driver loop (apps/segment_transfer/main.cpp:344-364):
     keep adding the single best proposal until the score stops improving
-    (pop the last placement if it made things worse)."""
+    (pop the last placement if it made things worse). ``trace_fp``:
+    optional file — arrangement-oracle-format GREEDY_* lines for parity
+    comparison (tools/run_arrangement_parity.py)."""
     weights = opts.energy_weights_greedy
     state = FastEnergy(ctx, db, scene_idx, weights, opts.n_past_steps,
                        db.arrangements[scene_idx])
     score = state.score()
+    if trace_fp is not None:
+        trace_fp.write(f"GREEDY_INIT {score:.9g}\n")
+    k = 0
     while True:
         prev = score
         score = greedy_step(ctx, db, scene_idx, opts, state=state)
+        if trace_fp is not None:
+            arr = db.arrangements[scene_idx]
+            last = arr[-1] if arr else None
+            trace_fp.write(
+                f"GREEDY_STEP {k} {score:.9g} "
+                f"{last.uidx if last else -1} "
+                f"{last.object_idx if last else -1} "
+                f"{last.pose_idx if last else -1} "
+                f"{last.score if last else 0.0:.9g}\n")
+        k += 1
         if prev - score > 1e-6:
             db.arrangements[scene_idx].pop()
+            if trace_fp is not None:
+                trace_fp.write("GREEDY_POP\n")
             break
         if abs(prev - score) < 1e-6:
             break
+    if trace_fp is not None:
+        trace_fp.write(f"GREEDY_DONE {len(db.arrangements[scene_idx])}\n")
 
 
 # ---------------------------------------------------------------------------
@@ -773,7 +792,16 @@ def _linearize_ids(db: Rsdb, obj_static=None) -> bool:
 
 
 def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
-                        opts: config.ArrangementOpts) -> None:
+                        opts: config.ArrangementOpts,
+                        trace_fp=None, follow=None) -> None:
+    """``trace_fp``: optional file — writes one line per iteration in the
+    arrangement-oracle trace format ("iter restart action n prev cur temp
+    accept_p roll accepted") for step-level parity against the reference
+    (tools/run_arrangement_parity.py). ``follow``: optional list of parsed
+    oracle trace rows; each iteration's accept decision is FORCED to the
+    oracle's so both trajectories stay on the identical state sequence and
+    every divergence is localized to the step it happened at instead of
+    cascading."""
     rand = mshrng.MshRand(config.SA_SEED)
     poses = db.proposed_poses[scene_idx]
     pscores = db.proposed_scores[scene_idx]
@@ -809,7 +837,9 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
 
     for it in range(opts.n_sa_iter):
         # random restart (:821-829)
+        restarted = 0
         if rand.next_f32() < config.SA_RESTART_PROB:
+            restarted = 1
             state.rebuild([dataclasses.replace(p)
                            for p in db.arrangements[scene_idx]])
 
@@ -839,7 +869,14 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
         accept_p = (1.0 if cur_score > prev_score
                     else np.exp(-(prev_score - cur_score) / temp))
         roll = rand.next_f32()
-        if accept_p >= roll:
+        accepted = accept_p >= roll
+        if trace_fp is not None:
+            trace_fp.write(f"{it} {restarted} {action} {len(state.items)} "
+                           f"{prev_score:.9g} {cur_score:.9g} {temp:.9g} "
+                           f"{accept_p:.9g} {roll:.9g} {int(accepted)}\n")
+        if follow is not None and it < len(follow):
+            accepted = bool(int(follow[it][9]))
+        if accepted:
             prev_score = cur_score
             if cur_score > max_score:
                 max_score = cur_score
@@ -957,9 +994,12 @@ def _apply_add(db, ctx, scene_idx, rand, state: FastEnergy, poses, pscores):
 
 def _apply_remove(rand, state: FastEnergy):
     """Remove: swap-remove a random placement (:707-727). The reference's
-    revert reads one-past-end of the shrunk array, which in practice
-    restores the removed element (it still sits in the buffer slot); we
-    implement the intended swap-remove + restore."""
+    revert reads the one-past-end slot of the shrunk array — which still
+    holds the REMOVED element (swap-remove parked it there) — and pushes it
+    back at the TAIL, leaving the old last element at ``idx``. The
+    resulting order ([..., old_last@idx, ..., removed@end]) matters: every
+    later index draw (move/swap/replace/remove) is position-based, so the
+    exact order must be replicated (oracle SA traces diverge otherwise)."""
     n = len(state.items)
     if n == 0:
         return None
@@ -967,13 +1007,7 @@ def _apply_remove(rand, state: FastEnergy):
     removed = state.remove_swap(idx)
 
     def undo():
-        # invert the swap-remove: push the (moved) last element back to the
-        # tail and restore the removed one at its slot
-        if idx == len(state.items):  # removed element WAS the last one
-            state.add(removed)
-        else:
-            state.add(state.items[idx])
-            state.set(idx, removed)
+        state.add(removed)
     return undo
 
 
