@@ -25,14 +25,28 @@ MIN_REGION_SIZE = 100
 
 
 def _load_pred_info(pred_file: str) -> List[dict]:
+    """Mask paths are validated like the reference's
+    read_instance_prediction_file (scripts/util_3d.py:125-145): they must
+    be relative and resolve inside the prediction directory — a prediction
+    file must not be able to point the evaluator at arbitrary files."""
     out = []
     base = os.path.dirname(pred_file)
+    abs_base = os.path.abspath(base)
     with open(pred_file) as f:
         for line in f:
             parts = line.split()
             if len(parts) != 3:
                 continue
-            out.append({"mask_file": os.path.join(base, parts[0]),
+            if os.path.isabs(parts[0]):
+                raise ValueError(
+                    f"invalid instance prediction file {pred_file}: mask "
+                    f"path {parts[0]!r} must be relative")
+            mask_file = os.path.abspath(os.path.join(base, parts[0]))
+            if os.path.commonpath([mask_file, abs_base]) != abs_base:
+                raise ValueError(
+                    f"predicted mask {mask_file} in {pred_file} points "
+                    f"outside of the prediction path")
+            out.append({"mask_file": mask_file,
                         "label_id": int(float(parts[1])),
                         "conf": float(parts[2])})
     return out

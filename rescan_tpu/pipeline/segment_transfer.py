@@ -338,6 +338,10 @@ def main(argv=None) -> int:
         description="Arrangement optimization and segmentation transfer")
     ap.add_argument("input_database_filename")
     ap.add_argument("--output_database", "-o", dest="output")
+    # accepted for argv parity and intentionally unused: the reference
+    # parses -s into opts.output_segmented_mesh (main.cpp:72,:221-222) and
+    # never reads it either — the segmented PLY is always written when -o
+    # is given (main.cpp:403-419), which run() replicates
     ap.add_argument("--output_segmentation", "-s", action="store_true")
     ap.add_argument("--just_simulated_annealing", action="store_true")
     ap.add_argument("--just_greedy_initialization", action="store_true")

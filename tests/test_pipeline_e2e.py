@@ -132,3 +132,19 @@ def test_eval_semantic_instance_perfect(tmp_path):
                                      [str(tmp_path / "scan.txt")])
     assert res["classes"]["chair"]["ap50%"] == pytest.approx(1.0)
     assert res["all_ap_50%"] == pytest.approx(1.0)
+
+
+def test_eval_semantic_instance_rejects_escaping_mask_paths(tmp_path):
+    """Mask paths in prediction files must stay inside the prediction
+    directory (reference scripts/util_3d.py:125-145)."""
+    n = 100
+    gt = np.full(n, 5001)
+    np.savetxt(tmp_path / "scan.txt", gt, fmt="%d")
+    (tmp_path / "pred").mkdir()
+    for bad in ("../scan.txt", "/etc/passwd"):
+        with open(tmp_path / "pred" / "scan.txt", "w") as f:
+            f.write(f"{bad} 5 1.0\n")
+        with pytest.raises(ValueError):
+            semantic_instance.evaluate(
+                [str(tmp_path / "pred" / "scan.txt")],
+                [str(tmp_path / "scan.txt")])
