@@ -91,6 +91,9 @@ def timed_run(tag: str, save_outputs: bool = False) -> float:
     db = pose_proposal.run(os.path.join(BENCH_DIR, "scan_000.rsdb"),
                            os.path.join(BENCH_DIR, "scan_001.ply"), out,
                            verbose=False, save_outputs=save_outputs)
+    print(f"POSE_PROPOSAL_PROFILE[{tag}]: " + " ".join(
+        f"{k}={v:.2f}s" for k, v in
+        getattr(db, "last_pose_proposal_timings", {}).items()))
     return float(db.last_pose_proposal_seconds)
 
 

@@ -54,7 +54,8 @@ def run_sequence(seq_dir: str, class_file: str,
                  eval_folder: Optional[str] = None,
                  verbose: bool = False,
                  resume: bool = False,
-                 in_memory: bool = True) -> List[str]:
+                 in_memory: bool = True,
+                 profiles: Optional[list] = None) -> List[str]:
     """Process one scene sequence; returns the list of produced .rsdb
     files (one per timestep).
 
@@ -69,6 +70,12 @@ def run_sequence(seq_dir: str, class_file: str,
     still written, so outputs and resumability are identical —
     SURVEY.md §7.3). Old scene clouds are dropped as the sequence
     advances to bound memory.
+
+    ``profiles``: optional list — appends one
+    ``{"timestep", "pose_proposal": {...}, "segment_transfer": {...}}``
+    per processed rescan with the stages' per-substage wall timings, so a
+    sequence run leaves a machine-readable amortized profile (timesteps
+    after the first reuse every compiled device program).
     """
     gt_dir = os.path.join(seq_dir, "gt_segmentation")
     subs = list_subsequences(gt_dir)
@@ -108,6 +115,14 @@ def run_sequence(seq_dir: str, class_file: str,
                                db=db)
         db = segment_transfer.run(pp_rsdb, out_rsdb, verbose=verbose,
                                   db=db)
+        if profiles is not None:
+            profiles.append({
+                "timestep": sub,
+                "pose_proposal": dict(getattr(
+                    db, "last_pose_proposal_timings", {})),
+                "segment_transfer": dict(getattr(
+                    db, "last_segment_transfer_timings", {})),
+            })
         if in_memory:
             # scene clouds are never read again after their timestep
             # (only arrangement poses are); drop them ALL — bounds memory

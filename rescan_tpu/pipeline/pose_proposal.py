@@ -448,6 +448,7 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     # the reference's "Computed poses in" timer spans scene ingest through
     # the final sort (apps/pose_proposal/main.cpp:144-208)
     t_start = time.perf_counter()
+    timings = {}
     scn_cloud = PointCloud.from_ply(scene_filename)
     scene = rsdbio.RsScene(
         uidx=len(db.scenes), arrangement_idx=len(db.scenes),
@@ -459,8 +460,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     db.proposed_poses.append(None)
     db.proposed_scores.append(None)
 
+    timings["ingest"] = time.perf_counter() - t_start
     if verbose:
-        print(f"PROFILE: scene ingest {time.perf_counter() - t_start:.2f}s")
+        print(f"PROFILE: scene ingest {timings['ingest']:.2f}s")
     t_stage = time.perf_counter()
 
     # one scene search grid at level 1 serves every scoring pass
@@ -477,20 +479,23 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         occupancy = occ_future.result()
     bbox = scn_cloud.bbox
 
+    timings["grid_occupancy"] = time.perf_counter() - t_stage
     if verbose:
-        print(f"PROFILE: search grid + occupancy {time.perf_counter() - t_stage:.2f}s")
+        print(f"PROFILE: search grid + occupancy {timings['grid_occupancy']:.2f}s")
     t_stage = time.perf_counter()
 
     # --- multiresolution grid search, all dynamic objects level-major ---
     proposals = grid_search_all_objects(db, scene_grid, bbox, occupancy,
                                         verbose=verbose, mesh=mesh)
 
+    timings["grid_search"] = time.perf_counter() - t_stage
     if verbose:
-        print(f"PROFILE: grid search (all objects) {time.perf_counter() - t_stage:.2f}s")
+        print(f"PROFILE: grid search (all objects) {timings['grid_search']:.2f}s")
     t_stage = time.perf_counter()
     proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+    timings["nms"] = time.perf_counter() - t_stage
     if verbose:
-        print(f"PROFILE: NMS {time.perf_counter() - t_stage:.2f}s")
+        print(f"PROFILE: NMS {timings['nms']:.2f}s")
     t_stage = time.perf_counter()
 
     # --- copy poses from ALL previous arrangements as proposals, score 10
@@ -554,8 +559,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                 config.REFINE_ICP_MAX_DIST,
                 np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
             T_ref = np.asarray(T_ref)[:B]
+        timings["icp_refine"] = time.perf_counter() - t_stage
         if verbose:
-            print(f"PROFILE: ICP refinement {time.perf_counter() - t_stage:.2f}s")
+            print(f"PROFILE: ICP refinement {timings['icp_refine']:.2f}s")
         t_stage = time.perf_counter()
 
         # rescore refined poses at query level 1, all objects in one
@@ -579,8 +585,9 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                 prop_lists[i][k] = Tn
                 score_lists[i][k] = float(sc)
 
+    timings["refine_rescore"] = time.perf_counter() - t_stage
     if verbose:
-        print(f"PROFILE: refine rescore {time.perf_counter() - t_stage:.2f}s")
+        print(f"PROFILE: refine rescore {timings['refine_rescore']:.2f}s")
     t_stage = time.perf_counter()
     proposals = [(np.stack(p) if p else np.zeros((0, 4, 4), np.float32),
                   np.asarray(s, np.float32)) for p, s in
@@ -602,7 +609,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                                    [s for _, s in sorted_props])
     db.proposed_poses[-1] = [p for p, _ in sorted_props]
     db.proposed_scores[-1] = [s for _, s in sorted_props]
+    timings["final_nms_sort_save"] = time.perf_counter() - t_stage
+    timings["total"] = elapsed
     db.last_pose_proposal_seconds = elapsed  # for benchmarking
+    db.last_pose_proposal_timings = timings
     return db
 
 

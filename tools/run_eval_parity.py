@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def build_sequence(root: str, small: bool) -> None:
+def build_sequence(root: str, small: bool, n_scans: int = 3) -> None:
     from rescan_tpu.utils import synthetic
 
     gt = os.path.join(root, "roomA", "gt_segmentation")
@@ -35,7 +35,8 @@ def build_sequence(root: str, small: bool) -> None:
                 ("chair", (0.45, 0.45), (0.35, 0.5, 0.35), 0.0),
                 ("table", (1.1, 1.0), (0.5, 0.4, 0.35), 0.0)])
         res = 6
-        moves = [((0.25, 0.15), 0), ((-0.1, 0.3), 0)]
+        moves = [((0.25, 0.15), 0), ((-0.1, 0.3), 0),
+                 ((0.1, -0.25), 1), ((-0.2, -0.1), 0)]
     else:
         # the bench.py scene (BASELINE.md measured configuration)
         spec0 = synthetic.SceneSpec(
@@ -46,9 +47,11 @@ def build_sequence(root: str, small: bool) -> None:
                 ("sofa", (1.0, 3.2), (1.6, 0.8, 0.7), 0.0),
                 ("desk", (3.2, 3.0), (1.0, 0.75, 0.6), 1.2)])
         res = 16
-        moves = [((0.5, 0.3), 0), ((-0.4, 0.5), 3)]
+        moves = [((0.5, 0.3), 0), ((-0.4, 0.5), 3),
+                 ((0.3, -0.4), 4), ((-0.5, -0.2), 0)]
     specs = [spec0]
-    for mv, which in moves:
+    while len(specs) < n_scans:
+        mv, which = moves[(len(specs) - 1) % len(moves)]
         specs.append(synthetic.moved_scene_spec(specs[-1], mv, which=which))
     for i, spec in enumerate(specs):
         synthetic.save_scene_ply(os.path.join(gt, f"scan_{i:03d}.ply"),
@@ -61,6 +64,7 @@ def main() -> int:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--root", default=None)
     ap.add_argument("--out", default="RESULTS.json")
+    ap.add_argument("--n_scans", type=int, default=3)
     args = ap.parse_args()
 
     from rescan_tpu.eval import (instance_transfer, semantic_instance,
@@ -71,15 +75,16 @@ def main() -> int:
                          else "/tmp/rescan_eval_parity")
     os.makedirs(root, exist_ok=True)
     if not os.path.exists(os.path.join(root, "nyu40_classes.txt")):
-        build_sequence(root, args.small)
+        build_sequence(root, args.small, args.n_scans)
 
     cwd = os.getcwd()
     os.chdir(root)
     t0 = time.perf_counter()
+    profiles = []
     try:
         driver.run_sequence("roomA", os.path.join(root, "nyu40_classes.txt"),
                             eval_folder=os.path.join(root, "eval"),
-                            resume=True)
+                            resume=True, profiles=profiles)
     finally:
         os.chdir(cwd)
     pipeline_s = time.perf_counter() - t0
@@ -110,7 +115,7 @@ def main() -> int:
 
     out = {
         "config": "small" if args.small else "bench-scale",
-        "n_scans": 3,
+        "n_scans": args.n_scans,
         "pipeline_wall_s": round(pipeline_s, 1),
         "semantic_label_mIoU": round(sem_miou, 4),
         "instance_transfer_mIoU_per_scan": [round(x, 4) for x in it_miou],
@@ -118,6 +123,16 @@ def main() -> int:
         "semantic_instance_AP": round(float(res["all_ap"]), 4),
         "semantic_instance_AP50": round(float(res["all_ap_50%"]), 4),
         "semantic_instance_AP25": round(float(res["all_ap_25%"]), 4),
+        # per-timestep, per-substage wall timings from the fused in-memory
+        # driver: timestep >= 2 rows are the amortized "warm" profile
+        # (compiled programs + remote program loads already paid)
+        "stage_profile": [
+            {"timestep": pr["timestep"],
+             "pose_proposal": {k: round(v, 2)
+                               for k, v in pr["pose_proposal"].items()},
+             "segment_transfer": {k: round(v, 2)
+                                  for k, v in pr["segment_transfer"].items()}}
+            for pr in profiles],
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
