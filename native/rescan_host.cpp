@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <functional>
 #include <vector>
 #include <algorithm>
 
@@ -787,6 +788,119 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
 #ifdef __SSE__
   __builtin_ia32_ldmxcsr(csr_saved);
 #endif
+}
+
+// ---------------------------------------------------------------------------
+// alpha-beta-swap graph-cut smoothing ORACLE over the identical Potts
+// energy the mean-field engine optimizes:
+//   E(l) = sum_i U[i*L + l_i] + sum_{(i,j) in E} w_ij * [l_i != l_j]
+// This is the move space the reference runs through gco (rspf_smooth_labels,
+// lib/rs/rs_pointcloud_filters.cpp:955-968, gc->swap(2)); gco-v3.0 itself is
+// not vendored, so the swap is reimplemented from the published move
+// construction (Boykov-Veksler-Zabih): for each label pair (a, b), the
+// optimal reassignment of the nodes currently labeled a or b is one min-cut
+//   s->i cap D_i(b), i->t cap D_i(a), i-j cap w_ij (both directions);
+// source side keeps a, sink side gets b. Potts terms against neighbors
+// OUTSIDE {a,b} contribute equally to both labels and cancel. All costs are
+// integers by construction (U in {0,1,15,30}, w = floor(.)*edge_cost), so
+// the cut is exact in int64. Max-flow is Dinic's with the current-arc
+// optimization — not gco's BK trees, but any max-flow gives the identical
+// optimal swap move. Pair order: ascending (a < b), n_cycles passes (the
+// reference runs 2); each move never increases E, so the result is a
+// swap-local optimum to compare the production mean-field engine against.
+void rescan_abswap(const float* U, int64_t n, int32_t L,
+                   const int32_t* csr_off, const int32_t* csr_nbr,
+                   const float* csr_w, int32_t n_cycles, int32_t* labels) {
+  struct Arc { int32_t to; int32_t rev; int64_t cap; };
+  std::vector<std::vector<Arc>> g;
+  std::vector<int32_t> level, iter;
+  auto add_arc = [&](int32_t u, int32_t v, int64_t cap, int64_t rcap) {
+    g[u].push_back({v, (int32_t)g[v].size(), cap});
+    g[v].push_back({u, (int32_t)g[u].size() - 1, rcap});
+  };
+  std::vector<int32_t> local(n, -1), nodes;
+  std::vector<int32_t> bfs_q;
+
+  for (int32_t cycle = 0; cycle < n_cycles; ++cycle) {
+    for (int32_t a = 0; a < L; ++a) {
+      for (int32_t b = a + 1; b < L; ++b) {
+        nodes.clear();
+        for (int64_t i = 0; i < n; ++i)
+          if (labels[i] == a || labels[i] == b) {
+            local[i] = (int32_t)nodes.size();
+            nodes.push_back((int32_t)i);
+          }
+        if (nodes.empty()) continue;
+        const int32_t m = (int32_t)nodes.size();
+        const int32_t S = m, T = m + 1;
+        g.assign(m + 2, {});
+        for (int32_t li = 0; li < m; ++li) {
+          const int64_t i = nodes[li];
+          const float* ui = U + (size_t)i * L;
+          const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
+          if (db_ > 0) add_arc(S, li, db_, 0);
+          if (da > 0) add_arc(li, T, da, 0);
+          for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
+            const int32_t j = csr_nbr[e];
+            if ((labels[j] == a || labels[j] == b) && j > i) {
+              const int64_t w = llroundf(csr_w[e]);
+              if (w > 0) add_arc(li, local[j], w, w);
+            }
+          }
+        }
+        // Dinic max-flow
+        level.assign(m + 2, -1);
+        iter.assign(m + 2, 0);
+        std::function<int64_t(int32_t, int64_t)> dfs =
+            [&](int32_t u, int64_t f) -> int64_t {
+          if (u == T) return f;
+          for (int32_t& it = iter[u]; it < (int32_t)g[u].size(); ++it) {
+            Arc& arc = g[u][it];
+            if (arc.cap > 0 && level[arc.to] == level[u] + 1) {
+              int64_t d = dfs(arc.to, f < arc.cap ? f : arc.cap);
+              if (d > 0) {
+                arc.cap -= d;
+                g[arc.to][arc.rev].cap += d;
+                return d;
+              }
+            }
+          }
+          return 0;
+        };
+        for (;;) {
+          level.assign(m + 2, -1);
+          level[S] = 0;
+          bfs_q.clear();
+          bfs_q.push_back(S);
+          for (size_t h = 0; h < bfs_q.size(); ++h) {
+            const int32_t u = bfs_q[h];
+            for (const Arc& arc : g[u])
+              if (arc.cap > 0 && level[arc.to] < 0) {
+                level[arc.to] = level[u] + 1;
+                bfs_q.push_back(arc.to);
+              }
+          }
+          if (level[T] < 0) break;
+          iter.assign(m + 2, 0);
+          while (dfs(S, INT64_MAX) > 0) {}
+        }
+        // source-reachable nodes keep label a, the rest get b
+        level.assign(m + 2, -1);
+        level[S] = 0;
+        bfs_q.clear();
+        bfs_q.push_back(S);
+        for (size_t h = 0; h < bfs_q.size(); ++h)
+          for (const Arc& arc : g[bfs_q[h]])
+            if (arc.cap > 0 && level[arc.to] < 0) {
+              level[arc.to] = 0;
+              bfs_q.push_back(arc.to);
+            }
+        for (int32_t li = 0; li < m; ++li)
+          labels[nodes[li]] = level[li] == 0 ? a : b;
+        for (int32_t v : nodes) local[v] = -1;
+      }
+    }
+  }
 }
 
 // Union-find with path halving over an undirected edge list; labels_out

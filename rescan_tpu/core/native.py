@@ -53,6 +53,11 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_uint8)]
+    lib.rescan_abswap.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
     lib.rescan_union_find.argtypes = [
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -314,6 +319,26 @@ def meanfield_icm(U: np.ndarray, csr_off: np.ndarray, csr_nbr: np.ndarray,
         ctypes.c_float(inv_temp), _fptr(q0), n_icm,
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _iptr(out))
     return out
+
+
+def abswap(U: np.ndarray, csr_off: np.ndarray, csr_nbr: np.ndarray,
+           csr_w: np.ndarray, labels0: np.ndarray,
+           n_cycles: int = 2) -> np.ndarray:
+    """alpha-beta-swap graph-cut local optimization of the Potts MRF —
+    the smoothing ORACLE matching the reference's gco swap(2) move space
+    (rs_pointcloud_filters.cpp:955-968). Same (U, CSR) inputs as
+    meanfield_icm; all costs must be integer-valued (they are by
+    construction). Returns the optimized label per node."""
+    lib = _load()
+    n, L = U.shape
+    u = np.ascontiguousarray(U, np.float32)
+    off = np.ascontiguousarray(csr_off, np.int32)
+    nbr = np.ascontiguousarray(csr_nbr, np.int32)
+    w = np.ascontiguousarray(csr_w, np.float32)
+    lab = np.ascontiguousarray(labels0, np.int32).copy()
+    lib.rescan_abswap(_fptr(u), n, L, _iptr(off), _iptr(nbr), _fptr(w),
+                      int(n_cycles), _iptr(lab))
+    return lab
 
 
 def union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:

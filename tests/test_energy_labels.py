@@ -250,3 +250,114 @@ def test_debug_overlays():
     render.draw_segments(img2, zbuf2, view, segs,
                          np.full((12, 3), 255, np.uint8))
     assert not (img2 > 0).any()
+
+
+def _random_mrf(rng, n, n_labels, n_edges):
+    unary = rng.integers(0, 31, (n, n_labels)).astype(np.float32)
+    es, ws, seen = [], [], set()
+    while len(es) < n_edges:
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        es.append(key)
+        ws.append(float(rng.integers(1, 6) * 10))
+    return unary, np.array(es, np.int32), np.array(ws, np.float32)
+
+
+def test_abswap_binary_is_exact_map(rng):
+    """For 2 labels a single swap move IS one global min-cut, so the
+    alpha-beta-swap oracle must return the exact MAP labeling."""
+    from rescan_tpu.core import native
+
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        n = 12
+        unary, edges, w = _random_mrf(r, n, 2, 20)
+        off, nbr, ww = native.csr_from_edges(edges[:, 0], edges[:, 1], w, n)
+        init = r.integers(0, 2, n).astype(np.int32)
+        out = native.abswap(unary, off, nbr, ww, init, n_cycles=1)
+        exact, e_exact = _mrf_bruteforce(n, 2, unary,
+                                         [tuple(e) for e in edges], w)
+        from rescan_tpu.ops.labels import potts_energy
+        assert potts_energy(unary, edges, w, out) == pytest.approx(e_exact)
+
+
+def test_abswap_multilabel_reaches_exact_map_small(rng):
+    """On small multi-label MRFs the swap local optimum coincides with the
+    global MAP for these seeds (deterministic); at minimum the energy must
+    never exceed the initial labeling's."""
+    from rescan_tpu.core import native
+    from rescan_tpu.ops.labels import potts_energy
+
+    n_exact = 0
+    for seed in range(5):
+        r = np.random.default_rng(100 + seed)
+        n, L = 10, 4
+        unary, edges, w = _random_mrf(r, n, L, 16)
+        off, nbr, ww = native.csr_from_edges(edges[:, 0], edges[:, 1], w, n)
+        init = r.integers(0, L, n).astype(np.int32)
+        out = native.abswap(unary, off, nbr, ww, init, n_cycles=2)
+        e_out = potts_energy(unary, edges, w, out)
+        e_init = potts_energy(unary, edges, w, init)
+        _, e_exact = _mrf_bruteforce(n, L, unary,
+                                     [tuple(e) for e in edges], w)
+        assert e_out <= e_init + 1e-6
+        assert e_out >= e_exact - 1e-6
+        n_exact += int(abs(e_out - e_exact) < 1e-6)
+    assert n_exact >= 4, f"swap reached global MAP on only {n_exact}/5 seeds"
+
+
+def test_abswap_engine_vs_meanfield(rng):
+    """VERDICT r2 item 4: the production mean-field engine must land within
+    a stated tolerance of the graph-cut (swap) labels on a random cloud —
+    both in label agreement and in Potts energy."""
+    from rescan_tpu.ops import labels as labels_ops
+
+    n = 600
+    pts = rng.random((n, 3), dtype=np.float32) * 0.4
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    init = rng.integers(0, 4, n).astype(np.int32)
+    db = Rsdb()
+    db.class_table = {n_: i for i, n_ in enumerate(synthetic.NYU40_CLASSES)}
+
+    outs = {}
+    clouds = {}
+    for engine in ("native", "abswap"):
+        cloud = PointCloud.from_arrays({
+            "positions": pts, "normals": nrm,
+            "colors": np.zeros((n, 3), np.float32),
+            "radii": np.full(n, 0.01, np.float32),
+            "qualities": np.ones(n, np.float32),
+            "class_ids": np.full(n, 5, np.int32),
+            "instance_ids": init.copy()}, compute_levels=True)
+        cloud.levels[1] = {k: v.copy() for k, v in cloud.levels[0].items()}
+        labels_ops.smooth_labels(db, cloud, engine=engine)
+        outs[engine] = cloud.levels[1]["instance_ids"].copy()
+        clouds[engine] = cloud
+
+    agree = np.mean(outs["native"] == outs["abswap"])
+    # energies over the identical graph/unary construction
+    cloud = clouds["abswap"]
+    edges, w = labels_ops.build_smoothing_graph(cloud)
+    pair_w = (np.floor(w * config.SMOOTH_EDGE_COST).astype(np.float32)
+              * config.SMOOTH_EDGE_COST)
+    n_labels = int(init.max()) + 5
+    unary = np.full((n, n_labels), config.SMOOTH_COST_DYNAMIC, np.float32)
+    unary[np.arange(n), init + 1] = 0.0
+    e = {k: labels_ops.potts_energy(unary, edges, pair_w, v + 1)
+         for k, v in outs.items()}
+    print(f"abswap-vs-meanfield: agreement {agree:.4f}, "
+          f"E_meanfield {e['native']:.0f} E_abswap {e['abswap']:.0f}")
+    # the decisive gate is ENERGY: the mean-field engine must match the
+    # swap-local graph-cut optimum (measured equal, 1030 == 1030, on this
+    # instance). Label agreement is gated looser because a fully-random
+    # init on a random cloud is maximally tie-degenerate — many labelings
+    # share the optimal energy and the engines break ties differently.
+    assert e["native"] <= e["abswap"] + 1e-6, \
+        f"mean-field energy {e['native']} above graph-cut {e['abswap']}"
+    assert agree >= 0.9, f"graph-cut agreement only {agree:.4f}"
