@@ -63,6 +63,12 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
                       T_init: jax.Array, max_dist, max_angle,
                       max_iter: int = config.ICP_MAX_ITER,
                       chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
+    return _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist,
+                     max_angle, max_iter, chunk)
+
+
+def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
+              max_iter, chunk) -> Tuple[jax.Array, jax.Array]:
     """Refine B rigid transforms simultaneously.
 
     Args:
@@ -176,6 +182,58 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
             jnp.asarray(0, jnp.int32))
     T, err, _, _, _ = jax.lax.while_loop(cond, body, init)
     return T, err
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+def icp_align_indexed(uobj_pts: jax.Array, uobj_nrm: jax.Array,
+                      uobj_mask: jax.Array, obj_of_pair: jax.Array,
+                      pair_valid: jax.Array, grid,
+                      T_init: jax.Array, max_dist, max_angle,
+                      max_iter: int = config.ICP_MAX_ITER,
+                      chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
+    """icp_align_batched with DEVICE-SIDE batch construction.
+
+    The (B, N, 3) point batch tiles the same few unique objects once per
+    proposal; materializing it on the host and shipping it through the
+    tunnel cost ~50 MB per stage call (measured: the bulk of the
+    icp_refine substage). Here only the unique tables go up:
+
+      uobj_pts / uobj_nrm: (O, N, 3) per-unique-object padded points
+        (pad_batch output over unique objects).
+      uobj_mask: (O, N) validity.
+      obj_of_pair: (B,) row index of each pair's object.
+      pair_valid: (B,) False for batch-padding rows (start inactive).
+
+    The gather happens inside the jit; numerics are IDENTICAL to
+    icp_align_batched on the equivalent materialized batch (gathers are
+    exact), which tests/test_icp.py asserts.
+    """
+    obj_pts = jnp.take(uobj_pts, obj_of_pair, axis=0)
+    obj_nrm = jnp.take(uobj_nrm, obj_of_pair, axis=0)
+    obj_mask = jnp.take(uobj_mask, obj_of_pair, axis=0) \
+        & pair_valid[:, None]
+    return _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist,
+                     max_angle, max_iter, chunk)
+
+
+def prep_unique_batch(list_of_pts, list_of_nrm, n_min: int = 1,
+                      rows_min: int = 8):
+    """pad_batch over UNIQUE objects, with the row axis padded to a power
+    of two (>= rows_min) so stages with different dynamic-object counts
+    share one compiled indexed-ICP program. Padding rows are FAR points
+    with empty masks — selectable only by invalid pairs, which start
+    inactive."""
+    import numpy as np
+    pts, nrm, mask = pad_batch(list_of_pts, list_of_nrm, n_min=n_min)
+    O, Np = mask.shape
+    Op = max(1 << int(np.ceil(np.log2(max(O, 1)))), rows_min)
+    if Op != O:
+        from . import pallas_nn
+        pts = np.concatenate(
+            [pts, np.full((Op - O, Np, 3), pallas_nn.FAR, np.float32)])
+        nrm = np.concatenate([nrm, np.zeros((Op - O, Np, 3), np.float32)])
+        mask = np.concatenate([mask, np.zeros((Op - O, Np), bool)])
+    return pts, nrm, mask
 
 
 def pad_batch(list_of_pts, list_of_nrm, sort: bool = True, n_min: int = 1):

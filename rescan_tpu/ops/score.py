@@ -92,11 +92,12 @@ def score_hypotheses(grid, obj_pts: jax.Array,
 # Launch sizing: each launch is ONE fixed-shape query chunk (the tunnel's
 # remote-compile worker is destabilized by device-side chunk loops), so
 # hypothesis slices satisfy H_slice * P_pad <= MAX_QUERIES_PER_LAUNCH and
-# JAX async dispatch pipelines the slice stream. Sized large (1M queries,
-# ~4096 Pallas grid steps) because under the axon tunnel EVERY launch pays
+# JAX async dispatch pipelines the slice stream. Sized large (4M queries,
+# ~16k Pallas grid steps) because under the axon tunnel EVERY launch pays
 # a ~50 ms host round trip regardless of device time — measured 57 ms/launch
-# at 32768 queries vs <1 ms of kernel time.
-MAX_QUERIES_PER_LAUNCH = 1 << 20
+# at 32768 queries vs <1 ms of kernel time; the bench L4 pass is ~53k
+# hypotheses x 512 pts = 26 launches at 1M, 7 at 4M (BUDGET_r03).
+MAX_QUERIES_PER_LAUNCH = 1 << 22
 
 
 def _pow2(n: int) -> int:
@@ -221,7 +222,17 @@ class ScoreStream:
 
     def _launch(self, g: dict, pp: int, hyps: np.ndarray,
                 owners: np.ndarray) -> None:
-        h_slice = self._h_slice(pp)
+        # full slices launch at h_slice; TAIL flushes launch at the pow2
+        # bucket covering their real hypothesis count (padding everything
+        # to h_slice made a 100-hyp tail a 4M-query launch — near-free on
+        # the TPU kernel whose FAR blocks skip their tile loops, but real
+        # work on the CPU engines the tests run on). pow2 buckets keep the
+        # compiled-program set small and shared across stages.
+        h_slice = min(self._h_slice(pp),
+                      max(_pow2(len(hyps)), 256))
+        if self.mesh is not None:
+            nd = int(self.mesh.devices.size)
+            h_slice = max((h_slice // nd) * nd, nd)
         if g["pts_j"] is None:
             # ship the pow2 row prefix only (a 1-object group uploads one
             # row, not the whole capacity); FAR rows beyond n_rows are

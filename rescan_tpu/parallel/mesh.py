@@ -180,3 +180,44 @@ def icp_refine_sharded(mesh: Mesh, grid: hashgrid.HashGrid,
     T, err = fn(grid, jnp.asarray(pad(pts_b)), jnp.asarray(pad(nrm_b)),
                 jnp.asarray(pad(mask_b)), jnp.asarray(T_p))
     return np.asarray(T)[:B], np.asarray(err)[:B]
+
+
+def icp_refine_indexed_sharded(mesh: Mesh, grid, uobj_pts, uobj_nrm,
+                               uobj_mask, obj_of_pair: np.ndarray,
+                               pair_valid: np.ndarray, T_init: np.ndarray,
+                               max_dist: float, max_angle: float
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """icp_align_indexed with the PAIR axis sharded over all mesh devices;
+    the small unique-object tables and the scene grid are replicated (the
+    batch gather happens device-side per shard, so the host never
+    materializes nor ships the (B, N, 3) batch)."""
+    from ..ops import icp
+
+    n_dev = mesh.devices.size
+    B = len(T_init)
+    Bp = _round_up(max(B, 1), n_dev)
+
+    T_p = np.zeros((Bp, 4, 4), np.float32)
+    T_p[:B] = np.asarray(T_init, np.float32)
+    T_p[B:] = np.eye(4, dtype=np.float32)
+    own_p = np.zeros(Bp, np.int32)
+    own_p[:B] = obj_of_pair
+    val_p = np.zeros(Bp, bool)
+    val_p[:B] = pair_valid
+
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("b",))
+
+    def shard_fn(grid_, upts, unrm, umask, own, val, T0):
+        return icp.icp_align_indexed(upts, unrm, umask, own, val, grid_,
+                                     T0, max_dist, max_angle)
+
+    grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=flat,
+        in_specs=(grid_specs, P(), P(), P(), P("b"), P("b"), P("b")),
+        out_specs=(P("b"), P("b")),
+        check_vma=False))
+    T, err = fn(grid, jnp.asarray(uobj_pts), jnp.asarray(uobj_nrm),
+                jnp.asarray(uobj_mask), jnp.asarray(own_p),
+                jnp.asarray(val_p), jnp.asarray(T_p))
+    return np.asarray(T)[:B], np.asarray(err)[:B]

@@ -219,7 +219,8 @@ def _select_cell_best(s4: np.ndarray, cell_of_hyp: np.ndarray,
 
 def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
                             occupancy: "SceneOccupancy | None",
-                            verbose: bool = False, mesh=None
+                            verbose: bool = False, mesh=None,
+                            timings: dict | None = None
                             ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Coarse-to-fine grid search for every dynamic object, level-major:
     the occupancy prune runs threaded across objects, then each level's
@@ -230,6 +231,8 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
         scene_bbox[0], scene_bbox[1])
     radius = sigma = config.SCORE_SEARCH_RADII[config.SCORE_SEARCH_LVL]
 
+    if timings is None:
+        timings = {}
     dyn = [i for i in range(len(db.objects)) if not db.is_object_static(i)]
     results: List[Tuple[np.ndarray, np.ndarray]] = \
         [(np.zeros((0, 4, 4), np.float32), np.zeros(0, np.float32))
@@ -258,14 +261,17 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
             alive[i] = np.arange(len(hyps))
         req_of[i] = stream.submit(None, None, hyps[alive[i]],
                                   prepped=prepped[(i, lvl)])
+    timings["gs_prune_dispatch"] = time.perf_counter() - t0
     if verbose:
         for i in dyn:
             print(f"POSE_PROPOSAL:         occupancy prune kept "
                   f"{len(alive[i])}/{len(hyps)} hypotheses "
                   f"({db.class_name(db.objects[i].class_idx)}."
                   f"{db.objects[i].uidx:03d})")
-        print(f"PROFILE:   prune+dispatch {time.perf_counter() - t0:.2f}s")
+        print(f"PROFILE:   prune+dispatch {timings['gs_prune_dispatch']:.2f}s")
     lvl4_scores = stream.collect()
+    timings["gs_l4_collect"] = time.perf_counter() - t0 \
+        - timings["gs_prune_dispatch"]
 
     poses_of, scores_of = {}, {}
     thr = config.SCORE_THRESHOLDS[lvl]
@@ -304,6 +310,7 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
                           prepped=prepped[key])
             submitted.append((i, valid))
         rescored = stream.collect()
+        timings[f"gs_l{vlvl}_rescore"] = time.perf_counter() - t0
         thr = config.SCORE_THRESHOLDS[vlvl]
         for (i, valid), sv in zip(submitted, rescored):
             scores_of[i][valid] = np.where(sv > thr, sv,
@@ -486,7 +493,8 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
 
     # --- multiresolution grid search, all dynamic objects level-major ---
     proposals = grid_search_all_objects(db, scene_grid, bbox, occupancy,
-                                        verbose=verbose, mesh=mesh)
+                                        verbose=verbose, mesh=mesh,
+                                        timings=timings)
 
     timings["grid_search"] = time.perf_counter() - t_stage
     if verbose:
@@ -525,36 +533,40 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         by_obj = {}
         for b, (i, k) in enumerate(owners):
             by_obj.setdefault(i, []).append((b, k))
-        # pad object points per pair (Morton-sorted, replicate + FAR fill,
-        # pad_batch) and the batch dim to a power of two for compile reuse
-        pts_l, nrm_l = [], []
-        for b, (i, k) in enumerate(owners):
-            pts_l.append(db.objects[i].cloud.pos(icp_lvl))
-            nrm_l.append(db.objects[i].cloud.nrm(icp_lvl))
+        # indexed batch: the host ships each UNIQUE object's padded points
+        # once and a (B,) row index per pair; the (B, N, 3) batch is
+        # gathered on device inside the jit (the materialized batch tiled
+        # the same few objects ~50x and its upload dominated this
+        # substage's wall time — see BUDGET_r03.json)
+        uniq = sorted(by_obj.keys())
+        row_of = {i: r for r, i in enumerate(uniq)}
         # n_min/Bp floor: match segment_transfer's refine batch shapes so
         # the two stages share one compiled ICP program
         n_min = max((len(db.objects[i].cloud.pos(icp_lvl))
                      for i in range(len(db.objects))
                      if not db.is_object_static(i)), default=1)
-        pts_b, nrm_b, mask_b = icp.pad_batch(pts_l, nrm_l, n_min=n_min)
-        B, N = mask_b.shape
+        upts, unrm, umask = icp.prep_unique_batch(
+            [db.objects[i].cloud.pos(icp_lvl) for i in uniq],
+            [db.objects[i].cloud.nrm(icp_lvl) for i in uniq], n_min=n_min)
+        B = len(flat_T)
         Bp = max(1 << int(np.ceil(np.log2(max(B, 1)))), 256)
-        pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
-                       constant_values=2e6)
-        nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))
-        mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
+        own_p = np.zeros(Bp, np.int32)
+        own_p[:B] = [row_of[i] for i, _ in owners]
+        val_p = np.zeros(Bp, bool)
+        val_p[:B] = True
         T_all = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
         T_all[:B] = np.stack(flat_T)
         if mesh is not None:
             from ..parallel import mesh as pmesh
-            T_ref, _ = pmesh.icp_refine_sharded(
-                mesh, icp_grid, pts_b, nrm_b, mask_b, T_all,
+            T_ref, _ = pmesh.icp_refine_indexed_sharded(
+                mesh, icp_grid, upts, unrm, umask, own_p, val_p, T_all,
                 config.REFINE_ICP_MAX_DIST,
                 float(np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG)))
             T_ref = T_ref[:B]
         else:
-            T_ref, _ = icp.icp_align_batched(
-                jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+            T_ref, _ = icp.icp_align_indexed(
+                jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
+                jnp.asarray(own_p), jnp.asarray(val_p),
                 icp_grid, jnp.asarray(T_all),
                 config.REFINE_ICP_MAX_DIST,
                 np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))

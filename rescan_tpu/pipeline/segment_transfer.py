@@ -104,34 +104,38 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     lvl = config.SCENE_REFINE_ICP_LVL
     grid = search.build_index(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
                               normals=scene.nrm(lvl))
-    pts = [db.objects[arr[i].object_idx].cloud.pos(lvl) for i in idxs]
-    nrm = [db.objects[arr[i].object_idx].cloud.nrm(lvl) for i in idxs]
-    # n_min/Bp floor chosen to MATCH pose_proposal's ICP refinement batch
-    # shapes, so this stage reuses its compiled program (padding rows are
-    # all-masked and start inactive)
+    # indexed batch (see pose_proposal's refinement): unique object tables
+    # ship once, pairs gather their rows on device. n_min/Bp floor chosen
+    # to MATCH pose_proposal's ICP refinement batch shapes, so this stage
+    # reuses its compiled program (invalid pair rows start inactive).
+    uniq = sorted({arr[i].object_idx for i in idxs})
+    row_of = {o: r for r, o in enumerate(uniq)}
     n_min = max((len(db.objects[i].cloud.pos(lvl))
                  for i in range(len(db.objects))
                  if not db.is_object_static(i)), default=1)
-    pts_b, nrm_b, mask_b = icp.pad_batch(pts, nrm, n_min=n_min)
-    B, N = mask_b.shape
+    upts, unrm, umask = icp.prep_unique_batch(
+        [db.objects[o].cloud.pos(lvl) for o in uniq],
+        [db.objects[o].cloud.nrm(lvl) for o in uniq], n_min=n_min)
+    B = len(idxs)
     Bp = max(1 << max(int(np.ceil(np.log2(max(B, 1)))), 0), 256)
-    pts_b = np.pad(pts_b, ((0, Bp - B), (0, 0), (0, 0)),
-                   constant_values=2e6)
-    nrm_b = np.pad(nrm_b, ((0, Bp - B), (0, 0), (0, 0)))
-    mask_b = np.pad(mask_b, ((0, Bp - B), (0, 0)))
+    own_p = np.zeros(Bp, np.int32)
+    own_p[:B] = [row_of[arr[i].object_idx] for i in idxs]
+    val_p = np.zeros(Bp, bool)
+    val_p[:B] = True
     T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
     T0[:B] = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
     import jax
     if len(jax.devices()) > 1:
         from ..parallel import mesh as pmesh
-        T, _ = pmesh.icp_refine_sharded(
-            pmesh.make_flat_mesh(), grid, pts_b, nrm_b, mask_b, T0,
-            config.SCENE_REFINE_ICP_MAX_DIST,
+        T, _ = pmesh.icp_refine_indexed_sharded(
+            pmesh.make_flat_mesh(), grid, upts, unrm, umask, own_p, val_p,
+            T0, config.SCENE_REFINE_ICP_MAX_DIST,
             float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
         T = T[:B]
     else:
-        T, _ = icp.icp_align_batched(
-            jnp.asarray(pts_b), jnp.asarray(nrm_b), jnp.asarray(mask_b),
+        T, _ = icp.icp_align_indexed(
+            jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
+            jnp.asarray(own_p), jnp.asarray(val_p),
             grid, jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
             np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
         T = np.asarray(T)[:B]
