@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from . import search
+from . import pallas_nn, search
 
 
 def _rotation_xyz(ax, ay, az):
@@ -63,12 +63,14 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
                       T_init: jax.Array, max_dist, max_angle,
                       max_iter: int = config.ICP_MAX_ITER,
                       chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
-    return _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist,
-                     max_angle, max_iter, chunk)
+    T, err, _ = _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init,
+                          max_dist, max_angle, max_iter, chunk)
+    return T, err
 
 
 def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
-              max_iter, chunk) -> Tuple[jax.Array, jax.Array]:
+              max_iter, chunk, err_init=None, it_init: int = 0
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refine B rigid transforms simultaneously.
 
     Args:
@@ -99,7 +101,7 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         q = jnp.where(active[:, None, None], q, 2e6)
         idx, d2, dot = search.nearest_gated(
             grid, q.reshape(B * N, 3), qn.reshape(B * N, 3), dist, cos_gate,
-            chunk=chunk)
+            chunk=chunk, bq=pallas_nn.block_for(N))
         idx = idx.reshape(B, N)
         d2 = d2.reshape(B, N)
         dot = dot.reshape(B, N)
@@ -175,13 +177,18 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         _, _, _, active, it = state
         return (it < max_iter) & jnp.any(active)
 
+    # err/it init hooks: the straggler phase of the two-phase driver
+    # (icp_refine_indexed) resumes the EXACT monolithic-loop state — pairs
+    # are fully independent, so splitting the loop at any iteration
+    # boundary and re-batching the still-active rows is bit-identical.
     init = (T_init.astype(jnp.float32),
-            jnp.full((B,), 1e6, jnp.float32),
+            jnp.full((B,), 1e6, jnp.float32) if err_init is None
+            else jnp.asarray(err_init, jnp.float32),
             jnp.asarray(max_dist, jnp.float32),
             jnp.any(obj_mask, axis=1),   # all-padding rows start inactive
-            jnp.asarray(0, jnp.int32))
-    T, err, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return T, err
+            jnp.asarray(it_init, jnp.int32))
+    T, err, _, active, _ = jax.lax.while_loop(cond, body, init)
+    return T, err, active
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
@@ -190,7 +197,9 @@ def icp_align_indexed(uobj_pts: jax.Array, uobj_nrm: jax.Array,
                       pair_valid: jax.Array, grid,
                       T_init: jax.Array, max_dist, max_angle,
                       max_iter: int = config.ICP_MAX_ITER,
-                      chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
+                      chunk: int = 65536,
+                      err_init=None, it_init: int = 0
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """icp_align_batched with DEVICE-SIDE batch construction.
 
     The (B, N, 3) point batch tiles the same few unique objects once per
@@ -213,7 +222,68 @@ def icp_align_indexed(uobj_pts: jax.Array, uobj_nrm: jax.Array,
     obj_mask = jnp.take(uobj_mask, obj_of_pair, axis=0) \
         & pair_valid[:, None]
     return _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist,
-                     max_angle, max_iter, chunk)
+                     max_angle, max_iter, chunk, err_init=err_init,
+                     it_init=it_init)
+
+
+def icp_refine_indexed(uobj_pts, uobj_nrm, uobj_mask, obj_of_pair,
+                       pair_valid, grid, T_init, max_dist, max_angle,
+                       phase_iters: int = 24, straggler_floor: int = 32
+                       ) -> Tuple["jax.Array", "jax.Array"]:
+    """Two-phase indexed ICP: run the full batch for ``phase_iters``
+    while_loop iterations, then host-compact the still-active pairs into a
+    small pow2 batch and finish there.
+
+    Why: per while_loop iteration the gated-NN kernel pays its block
+    prologue for EVERY query block (B x N / bq blocks) even when only a
+    couple of straggler pairs are still active — ~70 ms x up to 70 tail
+    iterations on the bench shapes (BUDGET_r03). Pairs are independent and
+    the loop state (T, err, the globally annealed dist, it) is threaded
+    exactly, so the result is IDENTICAL to the monolithic loop
+    (tests/test_icp.py asserts)."""
+    import numpy as np
+
+    T, err, active = icp_align_indexed(
+        jnp.asarray(uobj_pts), jnp.asarray(uobj_nrm),
+        jnp.asarray(uobj_mask), jnp.asarray(obj_of_pair),
+        jnp.asarray(pair_valid), grid, jnp.asarray(T_init),
+        max_dist, max_angle, max_iter=phase_iters)
+    act = np.asarray(active)
+    if not act.any():
+        return T, err
+    T = np.array(T)
+    err = np.array(err)
+    sel = np.flatnonzero(act)
+    ns = len(sel)
+    Bs = max(1 << int(np.ceil(np.log2(ns))), straggler_floor)
+    if Bs >= len(act):
+        Bs = len(act)
+        sel = np.arange(Bs)
+        ns = Bs
+    own2 = np.zeros(Bs, np.int32)
+    own2[:ns] = np.asarray(obj_of_pair)[sel]
+    val2 = np.zeros(Bs, bool)
+    val2[:ns] = np.asarray(pair_valid)[sel]
+    T02 = np.tile(np.eye(4, dtype=np.float32), (Bs, 1, 1))
+    T02[:ns] = T[sel]
+    err2 = np.full(Bs, 1e6, np.float32)
+    err2[:ns] = err[sel]
+    # the annealed correspondence radius after phase_iters body steps,
+    # computed with the loop's own f32 arithmetic so phase 2 sees the
+    # bit-identical value
+    d = np.float32(max_dist)
+    for _ in range(phase_iters):
+        d = np.maximum(np.float32(d * np.float32(config.ICP_DIST_ANNEAL)),
+                       np.float32(config.ICP_DIST_FLOOR))
+    T2, err2b, _ = icp_align_indexed(
+        jnp.asarray(uobj_pts), jnp.asarray(uobj_nrm),
+        jnp.asarray(uobj_mask), jnp.asarray(own2), jnp.asarray(val2),
+        grid, jnp.asarray(T02), d, max_angle,
+        max_iter=config.ICP_MAX_ITER, err_init=err2,
+        it_init=phase_iters)
+    T[sel] = np.asarray(T2)[:ns]
+    err[sel] = np.asarray(err2b)[:ns]
+    return T, err
 
 
 def prep_unique_batch(list_of_pts, list_of_nrm, n_min: int = 1,
@@ -249,12 +319,12 @@ def pad_batch(list_of_pts, list_of_nrm, sort: bool = True, n_min: int = 1):
     small pairs don't pay for the largest pair's point count.
     """
     import numpy as np
-    from . import pallas_nn
 
-    bq = pallas_nn.QUERY_BLOCK
     B = len(list_of_pts)
     n_max = max([len(p) for p in list_of_pts] + [n_min, 1])
-    n_pad = max(1 << int(np.ceil(np.log2(n_max))), bq)
+    n_pad = max(1 << int(np.ceil(np.log2(n_max))), 128)
+    bq = pallas_nn.block_for(n_pad)
+    n_pad = max(n_pad, bq)
     pts = np.full((B, n_pad, 3), pallas_nn.FAR, np.float32)
     nrm = np.zeros((B, n_pad, 3), np.float32)
     mask = np.zeros((B, n_pad), bool)

@@ -137,9 +137,11 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             qnp[:m] = qnc
             # cos_gate -1: every neighbor passes, so this is the plain
             # nearest-in-radius, with the selected neighbor's |dot|
+            from . import pallas_nn as _pn
             idx, d2, dot = search_ops.nearest_gated(
                 obj_index(p.object_idx), jnp.asarray(qp),
-                jnp.asarray(qnp), r, -1.0, use_abs_dot=True)
+                jnp.asarray(qnp), r, -1.0, use_abs_dot=True,
+                bq=_pn.block_for(mp))
             pend.append((i, cand, m, idx, d2, dot))
         return pend
 

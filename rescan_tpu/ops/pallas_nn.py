@@ -44,13 +44,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Kernel geometry, overridable for tuning sweeps. Defaults tuned on v5e:
-# larger query blocks amortize the per-tile loop iteration cost (~4-8 us
-# even when the bbox test skips the tile body) across more queries — a
-# block is a contiguous run of one pose's object points, so growing it
-# barely widens the block bbox or the near-tile set.
-QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 256))
+# Kernel geometry, overridable for tuning sweeps (RESCAN_QUERY_BLOCK pins
+# every call to one size). The round-3 sweep (tools/sweep_kernel_geometry,
+# results in BASELINE.md) showed the optimum is WORKLOAD-DEPENDENT at
+# SCENE_TILE=2048: small per-request point runs want small blocks (tight
+# block bboxes -> fewer near tiles: 512-pt scoring 5.9 Mq/s at 128 vs 3.3
+# at 512) while long runs want large blocks (8192-pt ICP queries 6.1 Mq/s
+# at 512 vs 2.0 at 128). block_for() picks per call; QUERY_BLOCK is only
+# the fallback/pin.
+QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 0)) or None
 SCENE_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 2048))
+_DEFAULT_BLOCK = 256
+
+
+def block_for(n_run: int) -> int:
+    """Query-block size for requests whose queries come in contiguous
+    same-pose runs of ``n_run`` points (see the sweep note above)."""
+    if QUERY_BLOCK:
+        return QUERY_BLOCK
+    if n_run <= 512:
+        return 128
+    if n_run <= 2048:
+        return _DEFAULT_BLOCK
+    return 512
 
 # Far-sentinel coordinate for padding queries/points: far enough that no
 # scene tile is ever "near", small enough that f32 squared norms stay
@@ -80,7 +96,7 @@ def morton_order(points: np.ndarray, cell: float = 0.2) -> np.ndarray:
 
 def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
                scene_ref, *out_refs, use_abs_dot: bool, want_idx: bool,
-               n_tiles: int):
+               n_tiles: int, bq: int):
     """One query block vs all scene tiles.
 
     q_ref:     (8, QUERY_BLOCK)  rows: x y z |q|^2 nx ny nz pad
@@ -163,9 +179,9 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
         return jax.lax.cond(near, compute, lambda: carry)
 
     if want_idx:
-        init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
-                jnp.full((QUERY_BLOCK,), -1, jnp.int32),
-                jnp.zeros((QUERY_BLOCK,), jnp.float32))
+        init = (jnp.full((bq,), jnp.inf, jnp.float32),
+                jnp.full((bq,), -1, jnp.int32),
+                jnp.zeros((bq,), jnp.float32))
         best_d2, best_idx, best_dot = jax.lax.fori_loop(lo, hi, tile_step,
                                                         init)
         found = best_d2 < jnp.inf
@@ -173,8 +189,8 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
         out_refs[1][0, :] = best_d2
         out_refs[2][0, :] = best_dot
     else:
-        init = (jnp.full((QUERY_BLOCK,), jnp.inf, jnp.float32),
-                jnp.zeros((QUERY_BLOCK,), jnp.float32))
+        init = (jnp.full((bq,), jnp.inf, jnp.float32),
+                jnp.zeros((bq,), jnp.float32))
         best_d2, best_dot = jax.lax.fori_loop(lo, hi, tile_step, init)
         out_refs[0][0, :] = best_d2
         out_refs[1][0, :] = best_dot
@@ -283,9 +299,9 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
 
 
 def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
-                use_abs_dot: bool, want_idx: bool):
+                use_abs_dot: bool, want_idx: bool, bq: int):
     m = q_pos.shape[0]
-    mp = ((m + QUERY_BLOCK - 1) // QUERY_BLOCK) * QUERY_BLOCK
+    mp = ((m + bq - 1) // bq) * bq
     qc = q_pos - slab.center[None, :]
     qpad = jnp.full((mp, 3), 2 * FAR, qc.dtype).at[:m].set(qc)
     qnpad = jnp.zeros((mp, 3), q_nrm.dtype).at[:m].set(q_nrm)
@@ -294,7 +310,7 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
     qslab = qslab.at[3, :].set(jnp.sum(qpad * qpad, axis=1))
     qslab = qslab.at[4:7, :].set(qnpad.T)
 
-    n_blocks = mp // QUERY_BLOCK
+    n_blocks = mp // bq
     rad2 = jnp.asarray([radius * radius], jnp.float32)
     cgate = jnp.asarray([cos_gate], jnp.float32)
 
@@ -307,8 +323,9 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
     bounds_v = bounds_v.at[:, :slab.n_tiles].set(slab.tile_bounds.T)
 
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
-                               want_idx=want_idx, n_tiles=slab.n_tiles)
-    out_spec = pl.BlockSpec((1, QUERY_BLOCK), lambda i: (0, i),
+                               want_idx=want_idx, n_tiles=slab.n_tiles,
+                               bq=bq)
+    out_spec = pl.BlockSpec((1, bq), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     out_specs = [out_spec] * (3 if want_idx else 2)
     out_shape = ([jax.ShapeDtypeStruct((1, mp), jnp.int32)] if want_idx
@@ -322,7 +339,7 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # radius^2
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # cos gate
-            pl.BlockSpec((8, QUERY_BLOCK), lambda i: (0, i),
+            pl.BlockSpec((8, bq), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                 # queries
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # tile bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # bounds_v
@@ -334,17 +351,17 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
     return outs, m
 
 
-@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
+@functools.partial(jax.jit, static_argnames=("use_abs_dot", "bq"))
 def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
                          q_nrm: jax.Array, radius, cos_gate,
-                         use_abs_dot: bool = False
+                         use_abs_dot: bool = False, bq: int = 256
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Gated 1-NN for M queries (M padded to QUERY_BLOCK internally).
+    """Gated 1-NN for M queries (M padded to the ``bq`` query block).
 
     Returns (idx, d2, dot) with idx in ORIGINAL point order (-1 if none).
     """
     (idx, d2, dot), m = _run_kernel(slab, q_pos, q_nrm, radius, cos_gate,
-                                    use_abs_dot, want_idx=True)
+                                    use_abs_dot, want_idx=True, bq=bq)
     idx = idx[0, :m]
     d2 = d2[0, :m]
     dot = dot[0, :m]
@@ -354,14 +371,14 @@ def nearest_gated_pallas(slab: SortedSlab, q_pos: jax.Array,
     return oidx, d2, dot
 
 
-@functools.partial(jax.jit, static_argnames=("use_abs_dot",))
+@functools.partial(jax.jit, static_argnames=("use_abs_dot", "bq"))
 def gated_min_pallas(slab: SortedSlab, q_pos: jax.Array, q_nrm: jax.Array,
-                     radius, cos_gate, use_abs_dot: bool = False
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     radius, cos_gate, use_abs_dot: bool = False,
+                     bq: int = 256) -> Tuple[jax.Array, jax.Array]:
     """(d2, dot) of the nearest in-radius gate-passing neighbor, without
     index tracking — the scoring path's kernel (drops the int32 carry, the
     index epilogue, and the HBM permutation gather). d2 == +inf where no
     neighbor qualifies."""
     (d2, dot), m = _run_kernel(slab, q_pos, q_nrm, radius, cos_gate,
-                               use_abs_dot, want_idx=False)
+                               use_abs_dot, want_idx=False, bq=bq)
     return d2[0, :m], dot[0, :m]

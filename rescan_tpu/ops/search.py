@@ -44,13 +44,17 @@ def build_index(points: np.ndarray, cell: float,
 
 
 def nearest_gated(index: Index, q_pos, q_nrm, radius, cos_gate,
-                  use_abs_dot: bool = False, chunk: int = 4096):
+                  use_abs_dot: bool = False, chunk: int = 4096,
+                  bq: int = 256):
     """(idx, d2, dot) of the nearest in-radius neighbor passing the normal
-    gate; idx in ORIGINAL point order, -1 where none qualifies."""
+    gate; idx in ORIGINAL point order, -1 where none qualifies. ``bq``:
+    Pallas query-block size — callers pass pallas_nn.block_for(run length)
+    (other engines ignore it)."""
     if isinstance(index, pallas_nn.SortedSlab):
         return pallas_nn.nearest_gated_pallas(index, q_pos, q_nrm, radius,
                                               cos_gate,
-                                              use_abs_dot=use_abs_dot)
+                                              use_abs_dot=use_abs_dot,
+                                              bq=bq)
     if isinstance(index, dense_nn.DenseIndex):
         return dense_nn.nearest_gated_dense(index, q_pos, q_nrm, radius,
                                             cos_gate, use_abs_dot=use_abs_dot,
@@ -61,14 +65,15 @@ def nearest_gated(index: Index, q_pos, q_nrm, radius, cos_gate,
 
 
 def gated_min(index: Index, q_pos, q_nrm, radius, cos_gate,
-              use_abs_dot: bool = False, chunk: int = 4096):
+              use_abs_dot: bool = False, chunk: int = 4096, bq: int = 256):
     """(d2, dot, found) of the nearest in-radius gate-passing neighbor —
     the scoring path's query: no neighbor INDEX is tracked, which lets the
     Pallas kernel drop its int32 carry and the permutation gather."""
     if isinstance(index, pallas_nn.SortedSlab):
         d2, dot = pallas_nn.gated_min_pallas(index, q_pos, q_nrm, radius,
                                              cos_gate,
-                                             use_abs_dot=use_abs_dot)
+                                             use_abs_dot=use_abs_dot,
+                                             bq=bq)
         return d2, dot, jnp.isfinite(d2)
     idx, d2, dot = nearest_gated(index, q_pos, q_nrm, radius, cos_gate,
                                  use_abs_dot=use_abs_dot, chunk=chunk)

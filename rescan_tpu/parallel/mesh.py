@@ -208,8 +208,9 @@ def icp_refine_indexed_sharded(mesh: Mesh, grid, uobj_pts, uobj_nrm,
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("b",))
 
     def shard_fn(grid_, upts, unrm, umask, own, val, T0):
-        return icp.icp_align_indexed(upts, unrm, umask, own, val, grid_,
-                                     T0, max_dist, max_angle)
+        T, err, _ = icp.icp_align_indexed(upts, unrm, umask, own, val,
+                                          grid_, T0, max_dist, max_angle)
+        return T, err
 
     grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
     fn = jax.jit(jax.shard_map(

@@ -564,10 +564,11 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
                 float(np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG)))
             T_ref = T_ref[:B]
         else:
-            T_ref, _ = icp.icp_align_indexed(
-                jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
-                jnp.asarray(own_p), jnp.asarray(val_p),
-                icp_grid, jnp.asarray(T_all),
+            # two-phase straggler compaction: the monolithic while_loop's
+            # tail (1-2 still-active pairs x ~70 iterations) paid the
+            # kernel's full block prologue each iteration (BUDGET_r03)
+            T_ref, _ = icp.icp_refine_indexed(
+                upts, unrm, umask, own_p, val_p, icp_grid, T_all,
                 config.REFINE_ICP_MAX_DIST,
                 np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))
             T_ref = np.asarray(T_ref)[:B]

@@ -133,10 +133,9 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
             float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
         T = T[:B]
     else:
-        T, _ = icp.icp_align_indexed(
-            jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
-            jnp.asarray(own_p), jnp.asarray(val_p),
-            grid, jnp.asarray(T0), config.SCENE_REFINE_ICP_MAX_DIST,
+        T, _ = icp.icp_refine_indexed(
+            upts, unrm, umask, own_p, val_p, grid, T0,
+            config.SCENE_REFINE_ICP_MAX_DIST,
             np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG))
         T = np.asarray(T)[:B]
     for k, i in enumerate(idxs):

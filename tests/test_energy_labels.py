@@ -361,3 +361,102 @@ def test_abswap_engine_vs_meanfield(rng):
     assert e["native"] <= e["abswap"] + 1e-6, \
         f"mean-field energy {e['native']} above graph-cut {e['abswap']}"
     assert agree >= 0.9, f"graph-cut agreement only {agree:.4f}"
+
+
+def _capacity_db(rng, n_objects=40, n_poses=30, spread=0.3):
+    """A db whose proposal set is dense enough to hit the SA capacity
+    paths: n_objects*n_poses candidates all within the replace-action
+    distance gate, FastEnergy growth past its initial 64-slot capacity."""
+    db = Rsdb()
+    db.class_table = {n_: i for i, n_ in enumerate(synthetic.NYU40_CLASSES)}
+    scene_pts = (rng.random((4000, 3)).astype(np.float32)
+                 * np.array([2.0, 0.8, 2.0], np.float32))
+    scene = PointCloud.from_arrays({
+        "positions": scene_pts,
+        "normals": np.tile(np.array([[0, 1, 0]], np.float32), (4000, 1)),
+        "colors": np.zeros((4000, 3), np.float32),
+        "radii": np.full(4000, 0.02, np.float32),
+        "qualities": np.ones(4000, np.float32),
+        "class_ids": np.full(4000, 5, np.int32),
+        "instance_ids": np.zeros(4000, np.int32)}, compute_levels=True)
+    db.scenes.append(RsScene(uidx=0, arrangement_idx=0,
+                             scn_filename="synthetic", cloud=scene))
+    db.arrangements.append([])
+    poses, scores = [], []
+    for i in range(n_objects):
+        pts = (rng.random((60, 3)).astype(np.float32) * 0.2)
+        cloud = PointCloud.from_arrays({
+            "positions": pts,
+            "normals": np.tile(np.array([[0, 1, 0]], np.float32), (60, 1)),
+            "colors": np.zeros((60, 3), np.float32),
+            "radii": np.full(60, 0.02, np.float32),
+            "qualities": np.ones(60, np.float32),
+            "class_ids": np.full(60, 5, np.int32),
+            "instance_ids": np.full(60, i + 3, np.int32)},
+            compute_levels=True)
+        db.objects.append(RsObject(uidx=i + 3, filename=f"chair.{i:03d}.ply",
+                                   class_idx=5, cloud=cloud))
+        T = np.tile(np.eye(4, dtype=np.float32), (n_poses, 1, 1))
+        # all proposal translations inside one replace-gate ball (0.35 m)
+        T[:, :3, 3] = (rng.random((n_poses, 3)).astype(np.float32) - 0.5) \
+            * spread + np.float32(1.0)
+        poses.append(T)
+        scores.append(rng.random(n_poses).astype(np.float32))
+    db.proposed_poses.append(poses)
+    db.proposed_scores.append(scores)
+    return db, poses, scores
+
+
+def test_energy_capacity_paths(rng):
+    """VERDICT r2 item 6 (unit half): drive the SA capacity machinery —
+    FastEnergy._grow past the 64-slot initial capacity, the replace
+    action's 1024-candidate cap (40x30 = 1200 in-gate candidates), and a
+    short SA over the dense set — asserting the incremental energy stays
+    EXACTLY equal to the from-scratch evaluation at every checkpoint."""
+    from rescan_tpu.utils import rng as mshrng
+
+    db, poses, scores = _capacity_db(rng)
+    ctx = energy.build_context(db, 0, poses, scores)
+    opts = config.ArrangementOpts()
+    opts.n_past_steps = 0
+
+    # 70 placements -> capacity doubles past _CAP0
+    arr = []
+    for k in range(70):
+        i = k % len(db.objects)
+        arr.append(Placement(uidx=db.objects[i].uidx + 1000 + k,
+                             arrangement_idx=0, object_idx=i,
+                             pose_idx=k % 30, pose=poses[i][k % 30],
+                             score=float(scores[i][k % 30])))
+    state = energy.FastEnergy(ctx, db, 0, opts.energy_weights_sa,
+                              opts.n_past_steps, arr)
+    assert len(state._cents) >= 70  # grew
+    slow = energy.scene_alignment_score(ctx, db, arr,
+                                        opts.energy_weights_sa,
+                                        opts.n_past_steps)
+    assert state.score() == pytest.approx(slow, abs=1e-9)
+
+    # replace action with 1200 in-gate candidates (cap at 1024)
+    rand = mshrng.MshRand(config.SA_SEED)
+    trans = [np.ascontiguousarray(np.asarray(p, np.float32)[:, :3, 3])
+             for p in poses]
+    for _ in range(10):
+        undo = energy._apply_replace(db, ctx, 0, rand, state, poses,
+                                     scores, trans)
+        assert undo is not None
+    slow = energy.scene_alignment_score(ctx, db, state.items,
+                                        opts.energy_weights_sa,
+                                        opts.n_past_steps)
+    assert state.score() == pytest.approx(slow, abs=1e-9)
+
+    # short dense-set SA end-to-end (exercises every action at capacity)
+    db.arrangements[0] = list(state.items)
+    opts.n_sa_iter = 300
+    energy.simulated_annealing(ctx, db, 0, opts)
+    final = db.arrangements[0]
+    state2 = energy.FastEnergy(ctx, db, 0, opts.energy_weights_sa,
+                               opts.n_past_steps, final)
+    slow = energy.scene_alignment_score(ctx, db, final,
+                                        opts.energy_weights_sa,
+                                        opts.n_past_steps)
+    assert state2.score() == pytest.approx(slow, abs=1e-9)

@@ -143,6 +143,36 @@ def test_icp_vs_reference_oracle(rng, tmp_path):
     assert abs(float(err[0]) - ref_err) < 5e-3
 
 
+def test_icp_two_phase_matches_monolithic(rng):
+    """icp_refine_indexed (full batch for phase_iters, then host-compacted
+    stragglers) must be BIT-IDENTICAL to the monolithic indexed loop: pairs
+    are independent, and the resumed state (T, err, annealed dist, it) is
+    threaded exactly."""
+    scene_pts, scene_nrm = _make_surface(rng, 2500)
+    grid = hashgrid.build_grid(scene_pts, 0.10, normals=scene_nrm)
+    uobjs = [(scene_pts[:700], scene_nrm[:700]),
+             (scene_pts[900:1500], scene_nrm[900:1500])]
+    upts, unrm, umask = icp.prep_unique_batch([o[0] for o in uobjs],
+                                              [o[1] for o in uobjs])
+    # pairs with varying convergence difficulty: tiny vs large offsets so
+    # a few stragglers remain after the short phase 1
+    B = 8
+    own = np.array([k % 2 for k in range(B)], np.int32)
+    val = np.ones(B, bool)
+    T0 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    for k in range(B):
+        T0[k] = _rigid(0.002 * (k + 1) ** 2, [0.004 * k, -0.003 * k, 0.0])
+    args = (jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
+            jnp.asarray(own), jnp.asarray(val), grid, jnp.asarray(T0),
+            0.10, np.deg2rad(60.0))
+    T_mono, err_mono, _ = icp.icp_align_indexed(*args)
+    T_two, err_two = icp.icp_refine_indexed(
+        upts, unrm, umask, own, val, grid, T0, 0.10, np.deg2rad(60.0),
+        phase_iters=7, straggler_floor=2)
+    np.testing.assert_array_equal(np.asarray(T_mono), np.asarray(T_two))
+    np.testing.assert_array_equal(np.asarray(err_mono), np.asarray(err_two))
+
+
 def test_icp_no_correspondences(rng):
     """Disjoint clouds: transform must come back unchanged."""
     a, an = _make_surface(rng, 500)

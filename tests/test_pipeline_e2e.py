@@ -148,3 +148,89 @@ def test_eval_semantic_instance_rejects_escaping_mask_paths(tmp_path):
             semantic_instance.evaluate(
                 [str(tmp_path / "pred" / "scan.txt")],
                 [str(tmp_path / "scan.txt")])
+
+
+@pytest.mark.slow
+def test_capacity_multiroom_sequence(tmp_path):
+    """VERDICT r2 item 6 (e2e half): a two-room scene (wall divider) with
+    20 dynamic objects over 5 timesteps — object counts far past anything
+    the bench scene exercises (novel-object cloning, label counts crossing
+    the 8-label bucket boundary, dozens of placements through greedy/SA).
+    Asserts completion, checkpointing, and sane end metrics."""
+    import time as _time
+    from rescan_tpu.pipeline import driver
+    from rescan_tpu.utils import synthetic
+    from rescan_tpu.eval import instance_transfer, semantic_label
+
+    rng = np.random.default_rng(7)
+    objs = [("wall", (1.6, 0.7), (0.08, 0.9, 1.4), 0.0)]  # room divider
+    classes = ["chair", "table", "desk", "sofa", "bed"]
+    for k in range(20):
+        room = k % 2
+        x = 0.25 + rng.random() * 1.1 + room * 1.65
+        z = 0.25 + rng.random() * 1.1
+        s = 0.16 + rng.random() * 0.1
+        objs.append((classes[k % len(classes)], (x, z),
+                     (s, 0.25 + rng.random() * 0.2, s),
+                     float(rng.random() * 1.5)))
+    spec = synthetic.SceneSpec(room_size=(3.3, 1.6), wall_height=0.9,
+                               objects=objs)
+    specs = [spec]
+    for t in range(4):
+        nxt = specs[-1]
+        for j in range(3):  # move 3 dynamic objects per step
+            which = 1 + ((t * 3 + j) % 20)
+            dx, dz = (rng.random(2) - 0.5) * 0.3
+            nxt = synthetic.moved_scene_spec(nxt, (float(dx), float(dz)),
+                                             which=which)
+        specs.append(nxt)
+
+    seq = tmp_path / "roomX"
+    gt = seq / "gt_segmentation"
+    gt.mkdir(parents=True)
+    for i, sp in enumerate(specs):
+        synthetic.save_scene_ply(str(gt / f"scan_{i:03d}.ply"), sp,
+                                 resolution=5, seed=i)
+    cls_file = tmp_path / "nyu40_classes.txt"
+    synthetic.write_class_file(str(cls_file))
+
+    t0 = _time.perf_counter()
+    profiles = []
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        produced = driver.run_sequence(str(seq), str(cls_file),
+                                       eval_folder=str(tmp_path / "eval"),
+                                       profiles=profiles)
+    finally:
+        os.chdir(cwd)
+    wall = _time.perf_counter() - t0
+    assert len(produced) == 5
+    for p in produced:
+        assert os.path.exists(p)
+
+    from rescan_tpu.core import database
+    db = database.load_database(produced[-1], load_pointclouds=False)
+    n_dynamic_placed = sum(
+        1 for p in db.arrangements[-1]
+        if not db.is_object_static(p.object_idx))
+    assert n_dynamic_placed >= 15, \
+        f"only {n_dynamic_placed} dynamic placements at t=4"
+
+    ev = tmp_path / "eval"
+    sl = sorted((ev / "semantic_label" / "predictions").glob("*.txt"))
+    ious = semantic_label.evaluate(
+        [str(f) for f in sl],
+        [str(f).replace("predictions", "gt_segmentation") for f in sl])
+    per_class = [v[0] for v in ious.values() if np.isfinite(v[0])]
+    miou = float(np.mean(per_class))
+    it = sorted((ev / "instance_transfer" / "predictions").glob("*.txt"))
+    it_miou = float(np.mean([instance_transfer.evaluate_scan(
+        str(f), str(f).replace("predictions", "gt_segmentation"))
+        for f in it]))
+    print(f"CAPACITY: 21 objects, 5 scans in {wall:.0f}s; "
+          f"semantic mIoU {miou:.3f}, raw instance-transfer {it_miou:.3f}; "
+          f"per-timestep totals "
+          f"{[round(p['pose_proposal'].get('total', 0), 1) for p in profiles]}")
+    assert miou > 0.5
+    assert it_miou > 0.3

@@ -106,7 +106,8 @@ def measure() -> dict:
     def icp_pass():
         idx, d2, dot = search.nearest_gated(
             igrid, qj, qnj, config.REFINE_ICP_MAX_DIST,
-            float(np.cos(np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))))
+            float(np.cos(np.deg2rad(config.REFINE_ICP_MAX_ANGLE_DEG))),
+            bq=pallas_nn.block_for(upts.shape[1]))
         return np.asarray(d2)
 
     icp_pass()
