@@ -69,8 +69,8 @@ def icp_align_batched(obj_pts: jax.Array, obj_nrm: jax.Array,
 
 
 def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
-              max_iter, chunk, err_init=None, it_init: int = 0
-              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+              max_iter, chunk, err_init=None, it_init: int = 0,
+              axis_name=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Refine B rigid transforms simultaneously.
 
     Args:
@@ -80,11 +80,19 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         a DenseIndex; see ops/search.py).
       T_init: (B, 4, 4) initial source-to-scene transforms.
       max_dist / max_angle: scalars (the reference's icp_align params).
+      axis_name: when set (inside shard_map with the POINT axis sharded
+        over this mesh axis), every per-pair reduction over N becomes a
+        psum over it — the "sp" tensor-parallel mode. All sp ranks derive
+        active/converged from the psummed values, so their while_loops
+        stay in lockstep.
 
     Returns (T, err): refined (B, 4, 4) transforms and final pt2pl errors.
     """
     B, N, _ = obj_pts.shape
     cos_gate = jnp.cos(max_angle)
+
+    def _allsum(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
 
     def find_corrs(T, dist, active):
         # transform sources into scene frame
@@ -121,20 +129,22 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         w = (1.0 - d2 / dist) * dot          # reference quirk: d^2 / max_dist
         w = jnp.where(ok, w, 0.0)
         # 2.5-sigma rejection on squared distances (icp.h:393-401)
-        cnt = jnp.maximum(jnp.sum(ok, axis=1), 1)
+        cnt_raw = _allsum(jnp.sum(ok, axis=1))
+        cnt = jnp.maximum(cnt_raw, 1)
         d2z = jnp.where(ok, d2, 0.0)
-        mean = jnp.sum(d2z, axis=1) / cnt
-        var = jnp.sum(jnp.where(ok, (d2 - mean[:, None]) ** 2, 0.0), axis=1) / cnt
+        mean = _allsum(jnp.sum(d2z, axis=1)) / cnt
+        var = _allsum(jnp.sum(jnp.where(ok, (d2 - mean[:, None]) ** 2, 0.0),
+                              axis=1)) / cnt
         std = jnp.sqrt(var)
         keep = (std[:, None] <= 1e-6) | (d2 <= 2.5 * std[:, None])
         w = jnp.where(keep, w, 0.0)
 
-        wsum = jnp.sum(w, axis=1)
-        has_corrs = (jnp.sum(ok, axis=1) > 0) & (wsum > 1e-7)
+        wsum = _allsum(jnp.sum(w, axis=1))
+        has_corrs = (cnt_raw > 0) & (wsum > 1e-7)
         wsafe = jnp.maximum(wsum, 1e-30)
 
-        c1 = jnp.einsum("bn,bni->bi", w, q) / wsafe[:, None]
-        c2 = jnp.einsum("bn,bni->bi", w, p2) / wsafe[:, None]
+        c1 = _allsum(jnp.einsum("bn,bni->bi", w, q)) / wsafe[:, None]
+        c2 = _allsum(jnp.einsum("bn,bni->bi", w, p2)) / wsafe[:, None]
         p = q - c1[:, None, :]
         qq = p2 - c2[:, None, :]
         d = p - qq
@@ -143,8 +153,8 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
 
         # 6x6 normal system: J = [c; n] per corr (Low '04)
         j6 = jnp.concatenate([cxn, n2], axis=-1)              # (B, N, 6)
-        C = jnp.einsum("bn,bni,bnj->bij", w, j6, j6)
-        b = -jnp.einsum("bn,bni,bn->bi", w, j6, ddn)
+        C = _allsum(jnp.einsum("bn,bni,bnj->bij", w, j6, j6))
+        b = -_allsum(jnp.einsum("bn,bni,bn->bi", w, j6, ddn))
         # damp for degenerate/ill-conditioned systems; f64 is not TPU-native,
         # so solve in f32 with scale-aware Tikhonov damping
         tr = jnp.trace(C, axis1=-2, axis2=-1)[:, None, None]
@@ -152,7 +162,8 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         x = jnp.linalg.solve(C, b[..., None])[..., 0]
         x = jnp.where(jnp.isfinite(x), x, 0.0)
 
-        new_err = jnp.sqrt(jnp.einsum("bn,bn->b", w, ddn * ddn) / wsafe)
+        new_err = jnp.sqrt(_allsum(jnp.einsum("bn,bn->b", w, ddn * ddn))
+                           / wsafe)
 
         R = _rotation_xyz(x[:, 0], x[:, 1], x[:, 2])          # (B, 3, 3)
         t = x[:, 3:6]
@@ -185,20 +196,23 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
             jnp.full((B,), 1e6, jnp.float32) if err_init is None
             else jnp.asarray(err_init, jnp.float32),
             jnp.asarray(max_dist, jnp.float32),
-            jnp.any(obj_mask, axis=1),   # all-padding rows start inactive
+            # all-padding rows start inactive (global across sp shards)
+            _allsum(jnp.sum(obj_mask, axis=1)) > 0,
             jnp.asarray(it_init, jnp.int32))
     T, err, _, active, _ = jax.lax.while_loop(cond, body, init)
     return T, err, active
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "chunk", "axis_name"))
 def icp_align_indexed(uobj_pts: jax.Array, uobj_nrm: jax.Array,
                       uobj_mask: jax.Array, obj_of_pair: jax.Array,
                       pair_valid: jax.Array, grid,
                       T_init: jax.Array, max_dist, max_angle,
                       max_iter: int = config.ICP_MAX_ITER,
                       chunk: int = 65536,
-                      err_init=None, it_init: int = 0
+                      err_init=None, it_init: int = 0,
+                      axis_name=None
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """icp_align_batched with DEVICE-SIDE batch construction.
 
@@ -223,7 +237,7 @@ def icp_align_indexed(uobj_pts: jax.Array, uobj_nrm: jax.Array,
         & pair_valid[:, None]
     return _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist,
                      max_angle, max_iter, chunk, err_init=err_init,
-                     it_init=it_init)
+                     it_init=it_init, axis_name=axis_name)
 
 
 def icp_refine_indexed(uobj_pts, uobj_nrm, uobj_mask, obj_of_pair,

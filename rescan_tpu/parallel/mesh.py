@@ -222,3 +222,65 @@ def icp_refine_indexed_sharded(mesh: Mesh, grid, uobj_pts, uobj_nrm,
                 jnp.asarray(uobj_mask), jnp.asarray(own_p),
                 jnp.asarray(val_p), jnp.asarray(T_p))
     return np.asarray(T)[:B], np.asarray(err)[:B]
+
+
+def refine_sp_factor(n_pairs: int, n_points: int,
+                     n_devices: Optional[int] = None) -> int:
+    """The sp (point-axis) factor for a refine-ICP launch: how many chips
+    each pair's point run should span. >1 only when pairs alone cannot
+    fill the mesh (few-pair x many-point launches — the scene-refine of a
+    handful of placements); each sp shard must keep >= 512 points so the
+    NN kernel's query blocks stay full."""
+    n_dev = n_devices or len(jax.devices())
+    pow2_pairs = 1 << max(int(np.ceil(np.log2(max(n_pairs, 1)))), 0)
+    sp = max(1, n_dev // pow2_pairs)
+    while sp > 1 and (n_points % sp != 0 or n_points // sp < 512):
+        sp //= 2
+    return sp
+
+
+def icp_refine_indexed_dpsp(mesh2d: Mesh, grid, uobj_pts, uobj_nrm,
+                            uobj_mask, obj_of_pair: np.ndarray,
+                            pair_valid: np.ndarray, T_init: np.ndarray,
+                            max_dist: float, max_angle: float
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Indexed ICP on the full (dp, sp) mesh: the PAIR axis shards over
+    dp and the per-object POINT axis over sp — every per-pair reduction
+    inside the ICP while_loop psums over "sp" (ops/icp.py::_icp_core
+    axis_name), so with B < n_devices the idle chips of the flat-dp
+    layout instead each take a point shard. Results equal the flat path
+    up to psum reduction order (tests/test_parallel.py gates)."""
+    from ..ops import icp
+
+    dp = mesh2d.shape["dp"]
+    sp = mesh2d.shape["sp"]
+    B = len(T_init)
+    Bp = _round_up(max(B, 1), dp)
+    N = np.asarray(uobj_pts).shape[1]
+    assert N % sp == 0, (N, sp)
+
+    T_p = np.zeros((Bp, 4, 4), np.float32)
+    T_p[:B] = np.asarray(T_init, np.float32)
+    T_p[B:] = np.eye(4, dtype=np.float32)
+    own_p = np.zeros(Bp, np.int32)
+    own_p[:B] = obj_of_pair
+    val_p = np.zeros(Bp, bool)
+    val_p[:B] = pair_valid
+
+    def shard_fn(grid_, upts, unrm, umask, own, val, T0):
+        T, err, _ = icp.icp_align_indexed(upts, unrm, umask, own, val,
+                                          grid_, T0, max_dist, max_angle,
+                                          axis_name="sp")
+        return T, err
+
+    grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh2d,
+        in_specs=(grid_specs, P(None, "sp"), P(None, "sp"), P(None, "sp"),
+                  P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False))
+    T, err = fn(grid, jnp.asarray(uobj_pts), jnp.asarray(uobj_nrm),
+                jnp.asarray(uobj_mask), jnp.asarray(own_p),
+                jnp.asarray(val_p), jnp.asarray(T_p))
+    return np.asarray(T)[:B], np.asarray(err)[:B]

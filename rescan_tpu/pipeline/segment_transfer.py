@@ -127,10 +127,22 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     import jax
     if len(jax.devices()) > 1:
         from ..parallel import mesh as pmesh
-        T, _ = pmesh.icp_refine_indexed_sharded(
-            pmesh.make_flat_mesh(), grid, upts, unrm, umask, own_p, val_p,
-            T0, config.SCENE_REFINE_ICP_MAX_DIST,
-            float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
+        # few placements x many points: when the pair axis alone cannot
+        # fill the mesh, shard each pair's POINT axis over the idle chips
+        # (psum-reduced ICP, ops/icp.py axis_name) instead of leaving
+        # them dark
+        sp = pmesh.refine_sp_factor(B, upts.shape[1])
+        if sp > 1:
+            T, _ = pmesh.icp_refine_indexed_dpsp(
+                pmesh.make_mesh(sp=sp), grid, upts, unrm, umask,
+                own_p[:B], val_p[:B], T0[:B],
+                config.SCENE_REFINE_ICP_MAX_DIST,
+                float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
+        else:
+            T, _ = pmesh.icp_refine_indexed_sharded(
+                pmesh.make_flat_mesh(), grid, upts, unrm, umask, own_p,
+                val_p, T0, config.SCENE_REFINE_ICP_MAX_DIST,
+                float(np.deg2rad(config.SCENE_REFINE_ICP_MAX_ANGLE_DEG)))
         T = T[:B]
     else:
         T, _ = icp.icp_refine_indexed(

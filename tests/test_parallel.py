@@ -59,6 +59,49 @@ def test_sharded_icp_matches_single(scene):
         assert float(np.abs(a - b).mean()) < 1e-3
 
 
+def test_icp_dpsp_matches_single(scene):
+    """Indexed ICP on the (dp, sp) mesh — pairs over dp, each pair's POINT
+    axis psum-sharded over sp — vs the single-device indexed loop. psum
+    reduction order differs from a flat sum, so gate on aligned point
+    residuals (same tolerance as the flat-sharded test)."""
+    import jax.numpy as jnp
+    pts, nrm = scene
+    grid = hashgrid.build_grid(pts, 0.1, normals=nrm)
+    objs = [pts[:1024] + np.array([0.02, 0.01, 0], np.float32),
+            pts[2000:3024] + np.array([0.015, 0.0, 0.01], np.float32)]
+    nrms = [nrm[:1024], nrm[2000:3024]]
+    upts, unrm, umask = icp.prep_unique_batch(objs, nrms)
+    own = np.array([0, 1, 0], np.int32)
+    val = np.ones(3, bool)
+    T0 = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+
+    T_ref, _, _ = icp.icp_align_indexed(
+        jnp.asarray(upts), jnp.asarray(unrm), jnp.asarray(umask),
+        jnp.asarray(own), jnp.asarray(val), grid, jnp.asarray(T0),
+        0.1, np.deg2rad(60.0))
+    m = pmesh.make_mesh(8, sp=2)
+    T_sh, _ = pmesh.icp_refine_indexed_dpsp(
+        m, grid, upts, unrm, umask, own, val, T0, 0.1,
+        float(np.deg2rad(60.0)))
+    for k in range(3):
+        p = objs[own[k]]
+        a = p @ np.asarray(T_ref[k])[:3, :3].T + np.asarray(T_ref[k])[:3, 3]
+        b = p @ T_sh[k][:3, :3].T + T_sh[k][:3, 3]
+        assert float(np.abs(a - b).mean()) < 1e-3
+
+
+def test_refine_sp_factor():
+    """sp engages exactly when pairs can't fill the mesh and each point
+    shard stays >= 512."""
+    assert pmesh.refine_sp_factor(16, 8192, 8) == 1
+    assert pmesh.refine_sp_factor(5, 8192, 8) == 1   # pow2(5) = 8 fills
+    assert pmesh.refine_sp_factor(4, 8192, 8) == 2
+    assert pmesh.refine_sp_factor(2, 8192, 8) == 4
+    assert pmesh.refine_sp_factor(1, 8192, 8) == 8
+    assert pmesh.refine_sp_factor(1, 1024, 8) == 2   # 512-pt shard floor
+    assert pmesh.refine_sp_factor(1, 512, 8) == 1
+
+
 def test_mesh_uses_all_devices():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     m = pmesh.make_mesh(8, sp=2)
