@@ -102,6 +102,41 @@ def main() -> int:
     report["outcome_equivalent"] = (report["uidx_set_match"] and obj_match
                                     and max_dt < 0.02 and max_ang < 2.0)
 
+    # Twin-exchange equivalence: geometrically identical same-class objects
+    # make the arrangement energy bimodal, and the annealer's mode choice
+    # flips on infinitesimal proposal differences (the identity-swap
+    # degeneracy of PARITY_r03 / ROUND3_NOTES item 2; the reference's eval
+    # protocol ships id-equivalence files for exactly this). Match ref
+    # placements to ours by POSITION (0.05 m gate) and require same-class
+    # objects: if a permutation exists, the placed geometry is identical
+    # and only the interchangeable identity labels differ.
+    from rescan_tpu.core import database
+    db = database.load_database(os.path.join(args.root, "ours_pp.rsdb"),
+                                load_pointclouds=False)
+    cls_of = [o.class_idx for o in db.objects]
+    perm, used = {}, set()
+    for u, a in by_uidx_ref.items():
+        ta = np.array(a["pose"], np.float64).reshape(4, 4, order="F")[:3, 3]
+        best, best_d = None, 0.05
+        for v, b in by_uidx_ours.items():
+            if v in used or cls_of[a["obj"]] != cls_of[b["obj"]]:
+                continue
+            tb = np.array(b["pose"], np.float64).reshape(4, 4,
+                                                         order="F")[:3, 3]
+            d = float(np.linalg.norm(ta - tb))
+            if d < best_d:
+                best, best_d = v, d
+        if best is not None:
+            perm[u] = best
+            used.add(best)
+    report["twin_exchange"] = {
+        "matched": len(perm), "of": len(by_uidx_ref),
+        "permutation": {str(k): v for k, v in perm.items()
+                        if k != v},
+        "equivalent_up_to_twin_exchange":
+            len(perm) == len(by_uidx_ref) == len(by_uidx_ours),
+    }
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")

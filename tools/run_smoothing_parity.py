@@ -97,7 +97,8 @@ def main() -> int:
         edges, w = labels_ops.build_smoothing_graph(scene)
         pair_w = (np.floor(w * config.SMOOTH_EDGE_COST).astype(np.float32)
                   * config.SMOOTH_EDGE_COST)
-        U = cost[:, None] * (1.0 - np.eye(n_labels, np.float32)[labels0])
+        U = cost[:, None] * (1.0 - np.eye(n_labels,
+                                          dtype=np.float32)[labels0])
 
         inv_inst = {}
         for li in range(n_labels):
