@@ -109,7 +109,7 @@ def _icp_core(obj_pts, obj_nrm, obj_mask, grid, T_init, max_dist, max_angle,
         q = jnp.where(active[:, None, None], q, 2e6)
         idx, d2, dot = search.nearest_gated(
             grid, q.reshape(B * N, 3), qn.reshape(B * N, 3), dist, cos_gate,
-            chunk=chunk, bq=pallas_nn.block_for(N))
+            chunk=chunk, bq=pallas_nn.block_for_index(grid, N))
         idx = idx.reshape(B, N)
         d2 = d2.reshape(B, N)
         dot = dot.reshape(B, N)

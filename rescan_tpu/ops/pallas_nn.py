@@ -53,7 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 # at 512 vs 2.0 at 128). block_for() picks per call; QUERY_BLOCK is only
 # the fallback/pin.
 QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 0)) or None
-SCENE_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 2048))
+# RESCAN_SCENE_TILE pins EVERY index (sweeps); otherwise per-index ``tile``
+# arguments may override the 2048 default (the sweep showed the ICP shape
+# — long query runs vs the finer ICP-level scene — prefers (bq=128,
+# tile=1024): 6.5-6.9 Mq/s vs 6.1 at (512, 2048)).
+_ENV_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 0)) or None
+SCENE_TILE = _ENV_TILE or 2048
 _DEFAULT_BLOCK = 256
 
 
@@ -67,6 +72,22 @@ def block_for(n_run: int) -> int:
     if n_run <= 2048:
         return _DEFAULT_BLOCK
     return 512
+
+
+def block_for_index(index, n_run: int) -> int:
+    """block_for, made aware of the index's tile size: a tile-1024 scene
+    index pairs with 128-wide query blocks — the sweep's fastest ICP
+    geometry (6.5-6.9 Mq/s vs 6.1 at (512, 2048)) — and the pairing is
+    also a VMEM-safety requirement: the want_idx kernel's (bq x tile)
+    intermediates share the 16 MB scoped-VMEM space with the whole scene
+    slab, and (bq=512, tile=2048) OOMed the compiler on a 144-tile
+    (295k-point) ICP-level scene."""
+    if QUERY_BLOCK:
+        return QUERY_BLOCK
+    tile = getattr(index, "tile", None)
+    if tile is not None and tile <= 1024:
+        return 128
+    return block_for(n_run)
 
 # Far-sentinel coordinate for padding queries/points: far enough that no
 # scene tile is ever "near", small enough that f32 squared norms stay
@@ -96,7 +117,7 @@ def morton_order(points: np.ndarray, cell: float = 0.2) -> np.ndarray:
 
 def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
                scene_ref, *out_refs, use_abs_dot: bool, want_idx: bool,
-               n_tiles: int, bq: int):
+               n_tiles: int, bq: int, tile: int):
     """One query block vs all scene tiles.
 
     q_ref:     (8, QUERY_BLOCK)  rows: x y z |q|^2 nx ny nz pad
@@ -143,7 +164,7 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
                 (tzmin <= bzmax + rad) & (tzmax >= bzmin - rad))
 
         def compute():
-            s = scene_ref[:, pl.ds(t * SCENE_TILE, SCENE_TILE)]   # (8, T)
+            s = scene_ref[:, pl.ds(t * tile, tile)]               # (8, T)
             # VPU elementwise distances/dots: a K=3 contraction uses 3/128
             # of the MXU's systolic depth, so dot_general (even at HIGHEST
             # precision) measured ~2x SLOWER than plain f32 vector ops —
@@ -166,7 +187,7 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
             tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
             if want_idx:
                 best_d2, best_idx, best_dot = carry
-                tidx = t * SCENE_TILE + tb
+                tidx = t * tile + tb
                 better = td2 < best_d2
                 return (jnp.where(better, td2, best_d2),
                         jnp.where(better, tidx, best_idx),
@@ -202,26 +223,30 @@ class SortedSlab:
     per-tile bounds, and the sort permutation to original indices."""
 
     def __init__(self, slab, tile_bounds, perm, n_valid, center,
-                 n_tiles: int):
+                 n_tiles: int, tile: int = SCENE_TILE):
         self.slab = slab                # (8, N_pad) f32
         self.tile_bounds = tile_bounds  # (n_tiles, 8) f32
         self.perm = perm                # (N_pad,) original index of column
         self.n_valid = n_valid
         self.center = center            # (3,)
         self.n_tiles = n_tiles
+        self.tile = tile                # points per tile (static)
 
     def tree_flatten(self):
         return ((self.slab, self.tile_bounds, self.perm, self.n_valid,
-                 self.center), (self.n_tiles,))
+                 self.center), (self.n_tiles, self.tile))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_tiles=aux[0])
+        return cls(*children, n_tiles=aux[0], tile=aux[1])
 
 
 def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
                       cell: float = 0.4,
-                      tile_bucket: str = "m16") -> SortedSlab:
+                      tile_bucket: str = "m16",
+                      tile: int = 0) -> SortedSlab:
+    # env pin (sweeps) > per-index request > default
+    tile = _ENV_TILE or tile or SCENE_TILE
     pts = np.asarray(points, np.float32)
     nrm = np.asarray(normals, np.float32)
     n = len(pts)
@@ -247,8 +272,8 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
         run_starts = np.concatenate(
             [[0], np.flatnonzero(coarse[1:] != coarse[:-1]) + 1, [n]])
         for a, b in zip(run_starts[:-1], run_starts[1:]):
-            for s in range(a, b, SCENE_TILE):
-                segments.append((s, min(s + SCENE_TILE, b)))
+            for s in range(a, b, tile):
+                segments.append((s, min(s + tile, b)))
     else:
         segments = [(0, 0)]
 
@@ -274,7 +299,7 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
         while len(segments) % 16:
             segments.append((n, n))
     n_tiles = len(segments)
-    n_pad = n_tiles * SCENE_TILE
+    n_pad = n_tiles * tile
     slab = np.zeros((8, n_pad), np.float32)
     slab[0:3, :] = FAR
     slab[3, :] = 3e12
@@ -282,7 +307,7 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     tb = np.zeros((n_tiles, 8), np.float32)
     for t, (a, b) in enumerate(segments):
         k = b - a
-        o = t * SCENE_TILE
+        o = t * tile
         slab[0:3, o:o + k] = p[a:b].T
         slab[3, o:o + k] = (p[a:b] * p[a:b]).sum(1)
         slab[4:7, o:o + k] = nr[a:b].T
@@ -295,7 +320,7 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
             tb[t, 4:7] = FAR
     return SortedSlab(jnp.asarray(slab), jnp.asarray(tb), jnp.asarray(perm),
                       jnp.asarray(n, jnp.int32), jnp.asarray(center),
-                      n_tiles)
+                      n_tiles, tile=tile)
 
 
 def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
@@ -324,7 +349,7 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
 
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
                                want_idx=want_idx, n_tiles=slab.n_tiles,
-                               bq=bq)
+                               bq=bq, tile=slab.tile)
     out_spec = pl.BlockSpec((1, bq), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     out_specs = [out_spec] * (3 if want_idx else 2)

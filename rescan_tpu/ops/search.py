@@ -28,10 +28,11 @@ Index = Union[pallas_nn.SortedSlab, dense_nn.DenseIndex, hashgrid.HashGrid]
 def build_index(points: np.ndarray, cell: float,
                 normals: Optional[np.ndarray] = None,
                 prefer_dense: Optional[bool] = None,
-                tile_bucket: str = "m16") -> Index:
+                tile_bucket: str = "m16", tile: int = 0) -> Index:
     """``cell`` is the query radius the index should serve (used by the
     grid engine; ignored by the dense ones). ``tile_bucket='pow2'`` is for
-    per-model indexes whose sizes churn across timesteps (see
+    per-model indexes whose sizes churn across timesteps; ``tile``
+    overrides the scene-tile size for this index (see
     pallas_nn.build_sorted_slab)."""
     if prefer_dense is None:
         prefer_dense = jax.default_backend() != "cpu"
@@ -39,7 +40,8 @@ def build_index(points: np.ndarray, cell: float,
         nrm = (np.zeros_like(np.asarray(points, np.float32))
                if normals is None else normals)
         return pallas_nn.build_sorted_slab(points, nrm,
-                                           tile_bucket=tile_bucket)
+                                           tile_bucket=tile_bucket,
+                                           tile=tile)
     return hashgrid.build_grid(points, cell, normals=normals)
 
 

@@ -519,9 +519,14 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     # (main.cpp:176-204: obj/scene level 2, max_dist 0.1, 60 deg; rescore
     # at query level 1) ---
     icp_lvl = config.REFINE_ICP_LVL
+    # tile=1024 pairs with bq=128 (pallas_nn.block_for_index): the sweep's
+    # fastest ICP geometry AND required headroom in scoped VMEM — the
+    # want_idx kernel at (512, 2048) OOMs once the ICP-level slab passes
+    # ~140 tiles
     icp_grid = search.build_index(scn_cloud.pos(icp_lvl),
                                   config.REFINE_ICP_MAX_DIST,
-                                  normals=scn_cloud.nrm(icp_lvl))
+                                  normals=scn_cloud.nrm(icp_lvl),
+                                  tile=1024)
     flat_T, owners = [], []
     for i in range(len(db.objects)):
         if db.is_object_static(i) or not prop_lists[i]:

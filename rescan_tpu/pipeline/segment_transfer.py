@@ -102,8 +102,10 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
         return
     scene = db.scenes[scene_idx].cloud
     lvl = config.SCENE_REFINE_ICP_LVL
+    # tile=1024: same ICP kernel geometry as pose_proposal's refinement
+    # (bq=128 via block_for_index — fastest swept ICP shape + VMEM headroom)
     grid = search.build_index(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
-                              normals=scene.nrm(lvl))
+                              normals=scene.nrm(lvl), tile=1024)
     # indexed batch (see pose_proposal's refinement): unique object tables
     # ship once, pairs gather their rows on device. n_min/Bp floor chosen
     # to MATCH pose_proposal's ICP refinement batch shapes, so this stage
