@@ -141,7 +141,7 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             idx, d2, dot = search_ops.nearest_gated(
                 obj_index(p.object_idx), jnp.asarray(qp),
                 jnp.asarray(qnp), r, -1.0, use_abs_dot=True,
-                bq=_pn.block_for(mp))
+                bq=_pn.block_for_index(obj_index(p.object_idx), mp))
             pend.append((i, cand, m, idx, d2, dot))
         return pend
 

@@ -195,9 +195,12 @@ def augment_database(db: rsdbio.Rsdb, scene_idx: int,
         if not db.is_object_static(plc.object_idx):
             t0 = time.perf_counter()
             model = obj.cloud
+            # tile=1024 (-> bq=128): level-0 model slabs grow every merge;
+            # at (512, 2048) the want_idx kernel's scoped-VMEM use would
+            # cross the 16 MB cliff once a model passes ~140 tiles
             grid = search.build_index(model.pos(0), config.AUGMENT_ICP_MAX_DIST,
                                       normals=model.nrm(0),
-                                      tile_bucket="pow2")
+                                      tile_bucket="pow2", tile=1024)
             pts_b, nrm_b, mask_b = icp.pad_batch(
                 [extracted.pos(0)], [extracted.nrm(0)])
             T, _ = icp.icp_align_batched(
