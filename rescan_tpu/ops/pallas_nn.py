@@ -74,6 +74,19 @@ def block_for(n_run: int) -> int:
     return 512
 
 
+def block_for_scoring(n_run: int) -> int:
+    """Query-block size for the SCORING path (want_idx=False). Measured
+    on the bench scoring grid (tile 2048), 4M-query launches, min-of-3:
+    128-wide blocks win at EVERY run length — 512-pt runs 5.9 vs 4.3
+    (256), 2048-pt runs 5.3 vs 4.5 (256), 8192-pt runs 6.7 vs 4.7 (512).
+    The no-index kernel's small temporaries make narrow blocks free, and
+    the tighter block bboxes prune more scene tiles. (The want_idx ICP
+    path differs — see block_for/block_for_index.)"""
+    if QUERY_BLOCK:
+        return QUERY_BLOCK
+    return 128
+
+
 def block_for_index(index, n_run: int) -> int:
     """block_for, made aware of the index's tile size: a tile-1024 scene
     index pairs with 128-wide query blocks — the sweep's fastest ICP

@@ -73,7 +73,7 @@ def score_hypotheses(grid, obj_pts: jax.Array,
     cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
     d2, dot, found = search.gated_min(
         grid, q.reshape(H * P, 3), qn.reshape(H * P, 3), radius, cos_gate,
-        chunk=chunk, bq=pallas_nn.block_for(P))
+        chunk=chunk, bq=pallas_nn.block_for_scoring(P))
     found = found.reshape(H, P) & obj_mask[None, :]
     d2 = jnp.where(found, d2.reshape(H, P), 0.0)
     dot = jnp.clip(dot.reshape(H, P), 0.0, 1.0)
@@ -115,7 +115,7 @@ def prep_points(obj_pts: np.ndarray, obj_nrm: np.ndarray
     """
     p = len(obj_pts)
     pp = max(_pow2(p), 128)
-    bq = pallas_nn.block_for(pp)
+    bq = pallas_nn.block_for_scoring(pp)
     order = pallas_nn.morton_order(obj_pts)
     pts = np.full((pp, 3), pallas_nn.FAR, np.float32)
     nrm = np.zeros((pp, 3), np.float32)
@@ -152,7 +152,7 @@ def _score_multi_impl(grid, pts_all: jax.Array, nrm_all: jax.Array,
     cos_gate = jnp.cos(jnp.deg2rad(config.SCORE_MAX_ANGLE_DEG))
     d2, dot, found = search.gated_min(
         grid, q.reshape(h * Pp, 3), qn.reshape(h * Pp, 3), radius, cos_gate,
-        bq=pallas_nn.block_for(Pp))
+        bq=pallas_nn.block_for_scoring(Pp))
     found = found.reshape(h, Pp) & mask
     d2 = jnp.where(found, d2.reshape(h, Pp), 0.0)
     dot = jnp.clip(dot.reshape(h, Pp), 0.0, 1.0)
