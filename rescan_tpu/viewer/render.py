@@ -336,7 +336,9 @@ def axes_segments(origin=(0.0, 0.0, 0.0), length: float = 0.5) -> tuple:
 
 
 def colorize(cloud, mode: str = "rgb") -> np.ndarray:
-    """Per-point colors for a level dict: 'rgb' | 'class' | 'instance'."""
+    """Per-point colors for a level dict: 'rgb' | 'class' | 'instance' |
+    'normal' (n*0.5+0.5 — the cloudvis show_normals toggle,
+    lib/rs/cloudvis.h:287-291)."""
     if mode == "rgb":
         return cloud["colors"]
     if mode == "class":
@@ -345,6 +347,8 @@ def colorize(cloud, mode: str = "rgb") -> np.ndarray:
     if mode == "instance":
         ids = np.asarray(cloud["instance_ids"]) % len(NYU40_PALETTE)
         return NYU40_PALETTE[ids]
+    if mode == "normal":
+        return np.asarray(cloud["normals"], np.float64) * 0.5 + 0.5
     raise ValueError(f"unknown color mode {mode}")
 
 

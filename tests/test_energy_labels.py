@@ -460,3 +460,33 @@ def test_energy_capacity_paths(rng):
                                         opts.energy_weights_sa,
                                         opts.n_past_steps)
     assert state2.score() == pytest.approx(slow, abs=1e-9)
+
+def test_viewer_interactive_loop(tmp_path, monkeypatch):
+    """The headless interactive mode (reference keyboard surface,
+    apps/rsdb_viewer/main.cpp:378-400): every shortcut re-renders the
+    PNG; 's' saves a numbered screenshot; 'q' exits."""
+    import argparse
+    import io as _io
+
+    from rescan_tpu.viewer import cli
+
+    db, _, _ = _mini_db(tmp_path)
+    db.arrangements[0] = [Placement(uidx=3, arrangement_idx=0, object_idx=0,
+                                    pose_idx=0,
+                                    pose=np.eye(4, dtype=np.float32),
+                                    score=0.9)]
+    out = str(tmp_path / "v.png")
+    args = argparse.Namespace(
+        mode="instance", level=1, resolution=(64, 48), scene_idx=-1,
+        no_placements=False, placement_mode="optimized", max_proposals=2,
+        show_bboxes=False, show_grid=False, show_axes=False,
+        df_slice_y=None, surfels=False, edl=0.0, output=out)
+    monkeypatch.setattr("sys.stdin", _io.StringIO("cenvarbp0s-+q"))
+    assert cli.interactive_loop(db, args, None, None) == 0
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (tmp_path / "v_001.png").exists()  # the 's' screenshot
+    # 'normal' color mode exists end-to-end (cldvis 'N' parity)
+    from rescan_tpu.viewer import render
+    c = render.colorize(db.scenes[0].cloud.levels[1], "normal")
+    assert c.shape[1] == 3 and 0.0 <= float(c.min()) <= float(c.max()) <= 1.0
