@@ -254,15 +254,57 @@ class SortedSlab:
         return cls(*children, n_tiles=aux[0], tile=aux[1])
 
 
+@jax.tree_util.register_pytree_node_class
+class SlabSet:
+    """A scene too large for ONE VMEM-resident slab, as Morton-contiguous
+    parts. Each part is a SortedSlab whose ``perm`` already maps to
+    ORIGINAL global indices, so per-part query results merge with a plain
+    running min over d2 — semantics identical to a single slab (every
+    point is in exactly one part). Costs one extra kernel launch per
+    extra part; only scenes past RESCAN_MAX_SLAB_COLS (~12.6 MB of slab,
+    ~390k points — near the 16 MB scoped-VMEM compile ceiling) pay it."""
+
+    def __init__(self, slabs, n_total: int):
+        self.slabs = slabs
+        self.n_total = n_total
+
+    @property
+    def tile(self):
+        return self.slabs[0].tile
+
+    def tree_flatten(self):
+        return (tuple(self.slabs), (self.n_total,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(list(children), n_total=aux[0])
+
+
+# slab columns per part before splitting; 393216 cols = 12.6 MB of slab,
+# leaving scoped-VMEM headroom for the kernel's (bq x tile) temporaries
+MAX_SLAB_COLS = int(os.environ.get("RESCAN_MAX_SLAB_COLS", 0)) or 393216
+
+
 def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
                       cell: float = 0.4,
                       tile_bucket: str = "m16",
-                      tile: int = 0) -> SortedSlab:
+                      tile: int = 0, orig_index=None):
     # env pin (sweeps) > per-index request > default
     tile = _ENV_TILE or tile or SCENE_TILE
     pts = np.asarray(points, np.float32)
     nrm = np.asarray(normals, np.float32)
     n = len(pts)
+    if orig_index is None and n > int(MAX_SLAB_COLS * 0.94):
+        # too big for one VMEM slab: global Morton sort, contiguous parts
+        glob = np.argsort(morton_key(pts, cell), kind="stable")
+        k = int(np.ceil(n / (MAX_SLAB_COLS * 0.94)))
+        bounds = np.linspace(0, n, k + 1).astype(np.int64)
+        slabs = [build_sorted_slab(pts[glob[a:b]], nrm[glob[a:b]],
+                                   cell=cell, tile_bucket=tile_bucket,
+                                   tile=tile,
+                                   orig_index=glob[a:b].astype(np.int32))
+                 for a, b in zip(bounds[:-1], bounds[1:])]
+        return SlabSet(slabs, n_total=n)
     center = ((pts.min(0) + pts.max(0)) * 0.5 if n else np.zeros(3)).astype(np.float32)
     p = pts - center
     # sort columns along a Morton curve so every tile is compact in ALL
@@ -271,7 +313,8 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
     order = np.argsort(morton_key(p, cell), kind="stable")
     p = p[order]
     nr = nrm[order]
-    oidx = order.astype(np.int32)
+    oidx = (order.astype(np.int32) if orig_index is None
+            else np.asarray(orig_index, np.int32)[order])
 
     # bbox-limited tile segmentation, vectorized: a raw Morton chunking
     # leaves some tiles straddling octant jumps with huge bounds that no
@@ -420,3 +463,37 @@ def gated_min_pallas(slab: SortedSlab, q_pos: jax.Array, q_nrm: jax.Array,
     (d2, dot), m = _run_kernel(slab, q_pos, q_nrm, radius, cos_gate,
                                use_abs_dot, want_idx=False, bq=bq)
     return d2[0, :m], dot[0, :m]
+
+
+def nearest_gated_set(sset: SlabSet, q_pos, q_nrm, radius, cos_gate,
+                      use_abs_dot: bool = False, bq: int = 256):
+    """nearest_gated_pallas over a SlabSet: per-part kernels merged by a
+    running min over d2 (misses carry d2=+inf, so the merge is exact)."""
+    idx = d2 = dot = None
+    for s in sset.slabs:
+        i, d, t = nearest_gated_pallas(s, q_pos, q_nrm, radius, cos_gate,
+                                       use_abs_dot=use_abs_dot, bq=bq)
+        if idx is None:
+            idx, d2, dot = i, d, t
+        else:
+            better = d < d2
+            idx = jnp.where(better, i, idx)
+            dot = jnp.where(better, t, dot)
+            d2 = jnp.minimum(d2, d)
+    return idx, d2, dot
+
+
+def gated_min_set(sset: SlabSet, q_pos, q_nrm, radius, cos_gate,
+                  use_abs_dot: bool = False, bq: int = 256):
+    """gated_min_pallas over a SlabSet (scoring path, no index carry)."""
+    d2 = dot = None
+    for s in sset.slabs:
+        d, t = gated_min_pallas(s, q_pos, q_nrm, radius, cos_gate,
+                                use_abs_dot=use_abs_dot, bq=bq)
+        if d2 is None:
+            d2, dot = d, t
+        else:
+            better = d < d2
+            dot = jnp.where(better, t, dot)
+            d2 = jnp.minimum(d2, d)
+    return d2, dot

@@ -22,7 +22,8 @@ import numpy as np
 
 from . import dense_nn, hashgrid, pallas_nn
 
-Index = Union[pallas_nn.SortedSlab, dense_nn.DenseIndex, hashgrid.HashGrid]
+Index = Union[pallas_nn.SortedSlab, pallas_nn.SlabSet, dense_nn.DenseIndex,
+              hashgrid.HashGrid]
 
 
 def build_index(points: np.ndarray, cell: float,
@@ -57,6 +58,10 @@ def nearest_gated(index: Index, q_pos, q_nrm, radius, cos_gate,
                                               cos_gate,
                                               use_abs_dot=use_abs_dot,
                                               bq=bq)
+    if isinstance(index, pallas_nn.SlabSet):
+        return pallas_nn.nearest_gated_set(index, q_pos, q_nrm, radius,
+                                           cos_gate, use_abs_dot=use_abs_dot,
+                                           bq=bq)
     if isinstance(index, dense_nn.DenseIndex):
         return dense_nn.nearest_gated_dense(index, q_pos, q_nrm, radius,
                                             cos_gate, use_abs_dot=use_abs_dot,
@@ -77,6 +82,11 @@ def gated_min(index: Index, q_pos, q_nrm, radius, cos_gate,
                                              use_abs_dot=use_abs_dot,
                                              bq=bq)
         return d2, dot, jnp.isfinite(d2)
+    if isinstance(index, pallas_nn.SlabSet):
+        d2, dot = pallas_nn.gated_min_set(index, q_pos, q_nrm, radius,
+                                          cos_gate, use_abs_dot=use_abs_dot,
+                                          bq=bq)
+        return d2, dot, jnp.isfinite(d2)
     idx, d2, dot = nearest_gated(index, q_pos, q_nrm, radius, cos_gate,
                                  use_abs_dot=use_abs_dot, chunk=chunk)
     return d2, dot, idx >= 0
@@ -84,6 +94,19 @@ def gated_min(index: Index, q_pos, q_nrm, radius, cos_gate,
 
 def index_arrays(index: Index) -> Tuple[jax.Array, jax.Array]:
     """(points, normals) in original order, for correspondence gathers."""
+    if isinstance(index, pallas_nn.SlabSet):
+        # scatter each Morton part back to its original rows; padding
+        # columns (perm == -1) target a throwaway row past the end
+        n = max(index.n_total, 1)
+        out_p = jnp.zeros((n + 1, 3), jnp.float32)
+        out_n = jnp.zeros((n + 1, 3), jnp.float32)
+        for s_ in index.slabs:
+            pts = s_.slab[0:3, :].T + s_.center[None, :]
+            nrm = s_.slab[4:7, :].T
+            tgt = jnp.where(s_.perm >= 0, s_.perm, n)
+            out_p = out_p.at[tgt].set(pts)
+            out_n = out_n.at[tgt].set(nrm)
+        return out_p[:n], out_n[:n]
     if isinstance(index, pallas_nn.SortedSlab):
         n_pad = index.slab.shape[1]
         pts = index.slab[0:3, :].T + index.center[None, :]

@@ -164,3 +164,44 @@ def test_score_requests_matches_single(rng):
             slab, jnp.asarray(opad), jnp.asarray(npad), jnp.asarray(mask),
             jnp.asarray(hyps), 0.1, 0.1))
         np.testing.assert_allclose(s, ref, atol=1e-5)
+
+
+def test_slabset_split_matches_single(rng, monkeypatch):
+    """Scenes past the VMEM slab ceiling split into a Morton-part SlabSet;
+    per-part kernels merged by running-min must equal the single slab
+    EXACTLY (every point lives in exactly one part), for both the
+    want_idx (ICP) and scoring query paths, and index_arrays must
+    round-trip original point order."""
+    from rescan_tpu.ops import pallas_nn
+
+    pts, nrm, q, qn = _data(rng, n=4000, m=700)
+    radius = 0.15
+    cos_gate = np.cos(np.deg2rad(35.0))
+
+    single = pallas_nn.build_sorted_slab(pts, nrm, tile=256)
+    assert isinstance(single, pallas_nn.SortedSlab)
+    monkeypatch.setattr(pallas_nn, "MAX_SLAB_COLS", 1024)
+    sset = pallas_nn.build_sorted_slab(pts, nrm, tile=256)
+    assert isinstance(sset, pallas_nn.SlabSet) and len(sset.slabs) >= 3
+    assert sset.tile == 256
+
+    si, sd2, sdot = (np.asarray(x) for x in search.nearest_gated(
+        single, jnp.asarray(q), jnp.asarray(qn), radius, cos_gate, bq=128))
+    mi, md2, mdot = (np.asarray(x) for x in search.nearest_gated(
+        sset, jnp.asarray(q), jnp.asarray(qn), radius, cos_gate, bq=128))
+    np.testing.assert_array_equal(si, mi)
+    # each part subtracts its OWN center before (q - p)^2, so d2/dot agree
+    # to fp rounding (~3e-8 abs), not bit-exactly
+    np.testing.assert_allclose(sd2, md2, rtol=1e-5)
+    np.testing.assert_allclose(sdot, mdot, rtol=1e-5, atol=1e-6)
+
+    d2s, dots, fs = search.gated_min(single, jnp.asarray(q), jnp.asarray(qn),
+                                     radius, cos_gate, bq=128)
+    d2m, dotm, fm = search.gated_min(sset, jnp.asarray(q), jnp.asarray(qn),
+                                     radius, cos_gate, bq=128)
+    np.testing.assert_allclose(np.asarray(d2s), np.asarray(d2m), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fm))
+
+    op, on_ = search.index_arrays(sset)
+    np.testing.assert_allclose(np.asarray(op), pts, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(on_), nrm, atol=1e-6)
