@@ -18,6 +18,8 @@ steady-state run (noted in BASELINE.md).
 import json
 import os
 import shutil
+import signal
+import subprocess
 import sys
 import time
 
@@ -26,6 +28,74 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Reference pose_proposal on the identical scene pair, measured via
 # tools/measure_baseline.sh -> BASELINE.md ("Computed poses in 258.980281s")
 REFERENCE_SECONDS = 258.98
+
+# Outage protection (round-4): the axon TPU tunnel can be down, in which
+# case in-process jax backend init either raises UNAVAILABLE or sleeps
+# forever in a retry loop.  Probe the backend in a *subprocess* (killable)
+# with bounded attempts, and bound the whole bench with SIGALRM, so an
+# outage always produces ONE diagnosable JSON line instead of a crash or
+# an infinite hang.
+PROBE_ATTEMPTS = int(os.environ.get("RESCAN_BENCH_PROBE_ATTEMPTS", "5"))
+PROBE_TIMEOUT_S = float(os.environ.get("RESCAN_BENCH_PROBE_TIMEOUT", "120"))
+PROBE_TOTAL_CAP_S = float(os.environ.get("RESCAN_BENCH_PROBE_CAP", "600"))
+HARD_TIMEOUT_S = int(os.environ.get("RESCAN_BENCH_TIMEOUT", "3300"))
+
+
+class BackendUnavailable(RuntimeError):
+    pass
+
+
+class BenchTimeout(RuntimeError):
+    pass
+
+
+def emit(value, vs_baseline, error=None):
+    """Print the single headline JSON line (the bench's whole contract)."""
+    rec = {"metric": "pose_proposal_sec_per_rescan",
+           "value": value, "unit": "s", "vs_baseline": vs_baseline}
+    if error is not None:
+        rec["error"] = error
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def probe_backend():
+    """Verify the jax backend initializes, in a killable subprocess.
+
+    Retries with linear backoff up to PROBE_ATTEMPTS times / PROBE_TOTAL_CAP_S
+    seconds. Raises BackendUnavailable if no attempt succeeds."""
+    # this image's sitecustomize force-registers the axon TPU plugin; pin
+    # the platform via jax.config when JAX_PLATFORMS is set (as the test
+    # conftest does) so CPU-mode probes don't wait on the TPU tunnel
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "ds = jax.devices()\n"
+            "print('BENCH_PROBE_OK', len(ds), ds[0].platform)")
+    t0 = time.monotonic()
+    last = "no attempt ran"
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        remaining = PROBE_TOTAL_CAP_S - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=min(PROBE_TIMEOUT_S, max(remaining, 10.0)))
+            if r.returncode == 0 and "BENCH_PROBE_OK" in r.stdout:
+                print(f"BENCH: backend probe ok on attempt {attempt} "
+                      f"({r.stdout.strip().splitlines()[-1]})")
+                return
+            last = (r.stderr or r.stdout or "").strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {PROBE_TIMEOUT_S:.0f}s"
+        print(f"BENCH: backend probe attempt {attempt}/{PROBE_ATTEMPTS} "
+              f"failed: {last.splitlines()[-1] if last else 'unknown'}")
+        if attempt < PROBE_ATTEMPTS:
+            time.sleep(min(15.0 * attempt,
+                           max(0.0, PROBE_TOTAL_CAP_S -
+                               (time.monotonic() - t0))))
+    raise BackendUnavailable(last)
 
 BENCH_DIR = "/tmp/rescan_bench_inputs"
 
@@ -111,7 +181,7 @@ def segment_transfer_profile() -> dict:
             for k, v in db.last_segment_transfer_timings.items()}
 
 
-def main():
+def run_bench():
     # NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the persistent
     # cache crashes this image's remote-compile TPU worker; the in-process
     # jit cache carries the warmup run's compiles into the measured run.
@@ -136,12 +206,39 @@ def main():
     else:
         print("SEGMENT_TRANSFER_PROFILE: skipped (compile warm-up consumed "
               "the time budget; see BASELINE.md round-2 numbers)")
-    print(json.dumps({
-        "metric": "pose_proposal_sec_per_rescan",
-        "value": round(secs, 3),
-        "unit": "s",
-        "vs_baseline": round(REFERENCE_SECONDS / secs, 2),
-    }))
+    emit(round(secs, 3), round(REFERENCE_SECONDS / secs, 2))
+
+
+def _alarm_handler(signum, frame):
+    raise BenchTimeout(f"hard wall-clock timeout ({HARD_TIMEOUT_S}s)")
+
+
+def main():
+    if hasattr(signal, "SIGALRM") and HARD_TIMEOUT_S > 0:
+        signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(HARD_TIMEOUT_S)
+    # sitecustomize force-registers the axon TPU plugin regardless of
+    # JAX_PLATFORMS; pin via jax.config (as tests/conftest.py does) so a
+    # CPU-mode bench run never waits on the TPU tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    try:
+        probe_backend()
+        run_bench()
+    except BackendUnavailable as e:
+        print(f"BENCH: TPU backend unavailable after {PROBE_ATTEMPTS} "
+              f"probe attempts: {e}")
+        emit(None, None, error="tpu_unavailable")
+    except BenchTimeout as e:
+        print(f"BENCH: {e}")
+        emit(None, None, error="timeout")
+    except Exception as e:  # noqa: BLE001 — any failure must still emit
+        print(f"BENCH: failed: {type(e).__name__}: {e}")
+        emit(None, None, error=f"{type(e).__name__}: {e}"[:300])
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
 
 
 if __name__ == "__main__":
