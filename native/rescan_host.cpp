@@ -26,6 +26,7 @@
 #include <cstring>
 #include <cmath>
 #include <functional>
+#include <unordered_map>
 #include <vector>
 #include <algorithm>
 
@@ -661,6 +662,674 @@ void rescan_ransac_triplets(const double* prob, const int64_t* alias,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Native simulated-annealing action loop (ops/energy.simulated_annealing).
+//
+// The Python loop is oracle-exact vs the instrumented reference
+// (PARITY_r03); at ~150-200 us/iteration its cost is pure interpreter
+// dispatch, not math. This kernel replicates the loop BIT-EXACTLY —
+// same PCG32 draw order, same float32/float64 promotion points, same
+// numpy pairwise-summation for the one in-loop distrib2pdf — so the
+// engine-agreement test can compare traces with ==. Reference semantics:
+// apps/segment_transfer arrangement_optimization.cpp:494-935.
+//
+// All geometry is precomputed by the Python marshaller (ops/energy.py::
+// simulated_annealing, engine="native"): per-proposal salient-cell lists,
+// gaussians (centroid + inverse rotated covariance), translations, the
+// static per-object ADD pdfs. The loop owns: action draws, the incremental
+// FastEnergy state, hysteresis vs the (mutable) past windows, linearize-ids,
+// commit/restart bookkeeping, and the per-iteration trace.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// numpy 1-D float64 pairwise summation (umath pairwise_sum, blocksize 128)
+// — replicated so the REPLACE action's distrib2pdf normalizer is bit-equal
+// to np.sum on the candidate score array.
+double np_pairwise_sum(const double* a, int64_t n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (int64_t i = 0; i < n; ++i) res += a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r[8];
+    for (int j = 0; j < 8; ++j) r[j] = a[j];
+    int64_t i = 8;
+    for (; i + 8 <= n; i += 8)
+      for (int j = 0; j < 8; ++j) r[j] += a[i + j];
+    double res = ((r[0] + r[1]) + (r[2] + r[3]))
+               + ((r[4] + r[5]) + (r[6] + r[7]));
+    for (; i < n; ++i) res += a[i];
+    return res;
+  }
+  int64_t n2 = n / 2;
+  n2 -= n2 % 8;
+  return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+// msh_pdfsample_linear (msh_std.h:1967-1977): linear CDF walk. prob is a
+// float64 (the f32 draw is exact in f64).
+int64_t pdfsample_linear(const double* pdf, int64_t n, double prob) {
+  int64_t idx = 0;
+  while (idx < n && prob > pdf[idx]) {
+    prob -= pdf[idx];
+    ++idx;
+  }
+  return idx;
+}
+
+struct SAConfig {
+  int32_t n_iter;
+  uint32_t seed;
+  double restart_prob, init_temp, min_temp;
+  double w_cov, w_geom, w_isect, w_hyst, wsum;
+  int32_t n_past;
+  double swap_thr, replace_thr;
+  double dup_pen, mismatch_pen, existed_bonus, novel_bonus;
+  double decay_a, decay_b, base_scale, mah_scale;
+};
+
+struct SATables {
+  int32_t n_obj;
+  const uint8_t* obj_static;
+  const int64_t* obj_uidx;
+  const int64_t* obj_class;
+  const double* obj_sigma;
+  const double* obj_pdf;      // ADD object pdf (len n_obj)
+  const int64_t* prop_off;    // (n_obj+1) global pose index ranges
+  const float* prop_trans;    // (P,3)
+  const double* prop_score;   // (P,)
+  const double* prop_add_pdf; // (P,) per-object normalized score pdf
+  const double* prop_cent;    // (P,3)
+  const double* prop_sig;     // (P,9)
+  const int64_t* cells_off;   // (P+1)
+  const int64_t* cells;       // salient cells, concatenated
+  int64_t n_extra;
+  const float* ex_trans;      // (E,3)
+  const double* ex_cent;      // (E,3)
+  const double* ex_sig;       // (E,9)
+  const int64_t* ex_cells_off;  // (E+1)
+  const int64_t* ex_cells;
+  int64_t n_cells_total, n_scn_valid;
+  int32_t n_past_arr;         // arrangements BEFORE the current scene
+  const int64_t* past_off;    // (n_past_arr+1)
+  int64_t* past_uidx;         // mutable (linearize-ids)
+  const int64_t* past_class;
+  const float* past_pos;      // (sum,3)
+  const int64_t* past_objidx;
+  int32_t scene_idx, n_arr;
+};
+
+struct SAPl {
+  int64_t uidx, arr_idx, objidx, ref;  // ref: global pose id, or -1-e extra
+  double score;
+  double f_best;
+  uint8_t f_existed, f_mismatched;
+};
+
+struct SAState {
+  const SAConfig& cfg;
+  const SATables& t;
+  std::vector<SAPl> items;
+  std::vector<SAPl> committed;
+  std::vector<double> cents;   // (cap,3)
+  std::vector<double> sigs;    // (cap,9)
+  std::vector<double> pen;     // (cap,cap)
+  int64_t cap;
+  std::vector<int32_t> cnt;    // coverage counts over global cell ids
+  int64_t n_cov;
+
+  SAState(const SAConfig& c, const SATables& tb)
+      : cfg(c), t(tb), cap(64), cnt(tb.n_cells_total, 0), n_cov(0) {
+    cents.resize(cap * 3);
+    sigs.resize(cap * 9);
+    pen.assign(cap * cap, 0.0);
+  }
+
+  const float* trans_of(const SAPl& p) const {
+    return p.ref >= 0 ? t.prop_trans + 3 * p.ref
+                      : t.ex_trans + 3 * (-1 - p.ref);
+  }
+  const double* cent_of(const SAPl& p) const {
+    return p.ref >= 0 ? t.prop_cent + 3 * p.ref
+                      : t.ex_cent + 3 * (-1 - p.ref);
+  }
+  const double* sig_of(const SAPl& p) const {
+    return p.ref >= 0 ? t.prop_sig + 9 * p.ref
+                      : t.ex_sig + 9 * (-1 - p.ref);
+  }
+  void cells_of(const SAPl& p, const int64_t** c, int64_t* n) const {
+    // static objects cover nothing (coverage skips them); the marshaller
+    // already filtered cells to salient ones
+    if (t.obj_static[p.objidx]) { *c = nullptr; *n = 0; return; }
+    if (p.ref >= 0) {
+      *c = t.cells + t.cells_off[p.ref];
+      *n = t.cells_off[p.ref + 1] - t.cells_off[p.ref];
+    } else {
+      int64_t e = -1 - p.ref;
+      *c = t.ex_cells + t.ex_cells_off[e];
+      *n = t.ex_cells_off[e + 1] - t.ex_cells_off[e];
+    }
+  }
+
+  void grow(int64_t need) {
+    int64_t nc = cap;
+    while (nc < need) nc *= 2;
+    if (nc == cap) return;
+    std::vector<double> c2(nc * 3), s2(nc * 9), p2(nc * nc, 0.0);
+    int64_t n = (int64_t)items.size();
+    std::memcpy(c2.data(), cents.data(), n * 3 * sizeof(double));
+    std::memcpy(s2.data(), sigs.data(), n * 9 * sizeof(double));
+    for (int64_t i = 0; i < n; ++i)
+      std::memcpy(&p2[i * nc], &pen[i * cap], n * sizeof(double));
+    cents.swap(c2); sigs.swap(s2); pen.swap(p2);
+    cap = nc;
+  }
+
+  // FastEnergy._placement_f: hysteresis best/existed/mismatched of one
+  // placement vs the past window (float32 d2, float64 exp — the exact
+  // promotion points of energy.py::_placement_f)
+  void placement_f(const SAPl& p, double* best, uint8_t* existed,
+                   uint8_t* mismatched) const {
+    *best = 0.0; *existed = 0; *mismatched = 0;
+    const int64_t cls = t.obj_class[p.objidx];
+    const double sigma = t.obj_sigma[p.objidx];
+    const float* pos = trans_of(p);
+    for (int32_t past_idx = 1; past_idx <= cfg.n_past; ++past_idx) {
+      int32_t ai = t.n_arr - (past_idx + 1);
+      if (ai < 0) continue;
+      const int64_t lo = t.past_off[ai], hi = t.past_off[ai + 1];
+      if (hi == lo) continue;
+      bool any_match = false;
+      const double decay = cfg.decay_a * past_idx + cfg.decay_b;
+      double m = -1.0;
+      for (int64_t j = lo; j < hi; ++j) {
+        if (t.past_uidx[j] != p.uidx) continue;
+        if (t.past_class[j] != cls) { *mismatched = 1; continue; }
+        any_match = true;
+        const float dx = pos[0] - t.past_pos[3 * j + 0];
+        const float dy = pos[1] - t.past_pos[3 * j + 1];
+        const float dz = pos[2] - t.past_pos[3 * j + 2];
+        const float d2 = dx * dx + dy * dy + dz * dz;
+        const double s = std::exp(-(double)d2 / (2.0 * sigma * sigma))
+                         * cfg.base_scale * decay;
+        if (s > m) m = s;
+      }
+      if (any_match) {
+        *existed = 1;
+        if (m > *best) *best = m;
+      }
+    }
+  }
+
+  void refresh_f() {
+    for (auto& p : items)
+      placement_f(p, &p.f_best, &p.f_existed, &p.f_mismatched);
+  }
+
+  void add(SAPl p) {
+    int64_t n = (int64_t)items.size();
+    grow(n + 1);
+    const int64_t* cl; int64_t ncl;
+    cells_of(p, &cl, &ncl);
+    if (ncl) n_cov += rescan_cov_update(cnt.data(), nullptr, 0, cl, ncl);
+    const double* ce = cent_of(p);
+    const double* si = sig_of(p);
+    std::memcpy(&cents[n * 3], ce, 3 * sizeof(double));
+    std::memcpy(&sigs[n * 9], si, 9 * sizeof(double));
+    std::vector<double> row(n);
+    rescan_pair_penalties(ce, si, cents.data(), sigs.data(), n,
+                          cfg.mah_scale, row.data());
+    for (int64_t j = 0; j < n; ++j) {
+      pen[n * cap + j] = row[j];
+      pen[j * cap + n] = row[j];
+    }
+    placement_f(p, &p.f_best, &p.f_existed, &p.f_mismatched);
+    items.push_back(p);
+  }
+
+  SAPl remove_swap(int64_t idx) {
+    int64_t n = (int64_t)items.size();
+    SAPl removed = items[idx];
+    const int64_t* cl; int64_t ncl;
+    cells_of(removed, &cl, &ncl);
+    if (ncl) n_cov += rescan_cov_update(cnt.data(), cl, ncl, nullptr, 0);
+    int64_t last = n - 1;
+    if (idx != last) {
+      items[idx] = items[last];
+      std::memcpy(&cents[idx * 3], &cents[last * 3], 3 * sizeof(double));
+      std::memcpy(&sigs[idx * 9], &sigs[last * 9], 9 * sizeof(double));
+      for (int64_t j = 0; j < n; ++j) pen[idx * cap + j] = pen[last * cap + j];
+      for (int64_t j = 0; j < n; ++j) pen[j * cap + idx] = pen[j * cap + last];
+      pen[idx * cap + idx] = 0.0;
+    }
+    items.pop_back();
+    for (int64_t j = 0; j < n; ++j) pen[last * cap + j] = 0.0;
+    for (int64_t j = 0; j < n; ++j) pen[j * cap + last] = 0.0;
+    return removed;
+  }
+
+  void set(int64_t idx, SAPl p) {
+    SAPl old = items[idx];
+    const int64_t *ocl, *cl; int64_t nocl, ncl;
+    cells_of(old, &ocl, &nocl);
+    cells_of(p, &cl, &ncl);
+    if (nocl || ncl)
+      n_cov += rescan_cov_update(cnt.data(), ocl, nocl, cl, ncl);
+    const double* ce = cent_of(p);
+    const double* si = sig_of(p);
+    std::memcpy(&cents[idx * 3], ce, 3 * sizeof(double));
+    std::memcpy(&sigs[idx * 9], si, 9 * sizeof(double));
+    int64_t n = (int64_t)items.size();
+    std::vector<double> row(n);
+    rescan_pair_penalties(ce, si, cents.data(), sigs.data(), n,
+                          cfg.mah_scale, row.data());
+    row[idx] = 0.0;
+    for (int64_t j = 0; j < n; ++j) {
+      pen[idx * cap + j] = row[j];
+      pen[j * cap + idx] = row[j];
+    }
+    placement_f(p, &p.f_best, &p.f_existed, &p.f_mismatched);
+    items[idx] = p;
+  }
+
+  void rebuild_from_committed() {
+    while (!items.empty()) remove_swap((int64_t)items.size() - 1);
+    for (const auto& p : committed) add(p);
+  }
+
+  double coverage() const {
+    if (t.n_scn_valid == 0) return 0.0;
+    return (double)n_cov / (double)t.n_scn_valid;
+  }
+  double intersection() const {
+    int64_t n = (int64_t)items.size();
+    if (n == 0) return 1.0;
+    if (n == 1) return 1.0;
+    double mx = pen[0];
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < n; ++j)
+        if (pen[i * cap + j] > mx) mx = pen[i * cap + j];
+    return 1.0 - mx;
+  }
+  double geometry() const {
+    if (items.empty()) return 0.0;
+    double s = 0.0;
+    for (const auto& p : items) s += p.score;
+    return s / (double)items.size();
+  }
+  double hysteresis() const {
+    int64_t n = (int64_t)items.size();
+    if (n == 0) return 0.0;
+    double total = 0.0;
+    std::unordered_map<int64_t, int64_t> seen;
+    int64_t n_dup = 0;
+    for (const auto& p : items) {
+      double v = p.f_mismatched ? cfg.mismatch_pen : p.f_best;
+      v += p.f_existed ? cfg.existed_bonus : cfg.novel_bonus;
+      total += v < 1.0 ? v : 1.0;
+      int64_t c = 0;
+      auto it = seen.find(p.uidx);
+      if (it != seen.end()) c = it->second;
+      n_dup += c;
+      seen[p.uidx] = c + 1;
+    }
+    double out = total / (double)n - (double)n_dup * cfg.dup_pen;
+    return out > 0.0 ? out : 0.0;
+  }
+  double score() const {
+    double s = 0.0;
+    if (cfg.w_geom > 0) s += cfg.w_geom * geometry();
+    if (cfg.w_isect > 0) s += cfg.w_isect * intersection();
+    if (cfg.w_hyst > 0) s += cfg.w_hyst * hysteresis();
+    if (cfg.w_cov > 0) s += cfg.w_cov * coverage();
+    return s / cfg.wsum;
+  }
+};
+
+}  // namespace
+
+// Run the full SA loop. Returns the number of iterations executed.
+// follow: optional per-iteration forced accept decisions (n_follow entries);
+// trace: (n_iter x 10) doubles [it, restarted, action, n, prev, cur, temp,
+// accept_p, roll, accepted(computed)]. out_mut: (n_iter x 3) linearize-ids
+// mutations (si, pi, new_uidx); past_uidx is ALSO mutated in place.
+// out_arr: (cap_out x 4) int64 [uidx, arr_idx, objidx, ref] + out_scores.
+int64_t rescan_sa_run(
+    int32_t n_iter, uint32_t seed, double restart_prob, double init_temp,
+    double min_temp, const double* weights4, double wsum, int32_t n_past,
+    double swap_thr, double replace_thr, double dup_pen, double mismatch_pen,
+    double existed_bonus, double novel_bonus, double decay_a, double decay_b,
+    double base_scale, double mah_scale, const double* pdf_full,
+    const double* pdf_noswap, int32_t n_obj, const uint8_t* obj_static,
+    const int64_t* obj_uidx, const int64_t* obj_class,
+    const double* obj_sigma, const double* obj_pdf, const int64_t* prop_off,
+    const float* prop_trans, const double* prop_score,
+    const double* prop_add_pdf, const double* prop_cent,
+    const double* prop_sig, const int64_t* cells_off, const int64_t* cells,
+    int64_t n_extra, const float* ex_trans, const double* ex_cent,
+    const double* ex_sig, const int64_t* ex_cells_off, const int64_t* ex_cells,
+    int64_t n_cells_total, int64_t n_scn_valid, int32_t n_past_arr,
+    const int64_t* past_off, int64_t* past_uidx, const int64_t* past_class,
+    const float* past_pos, const int64_t* past_objidx, int32_t n_init,
+    const int64_t* init_uidx, const int64_t* init_arr_idx,
+    const int64_t* init_objidx, const int64_t* init_ref,
+    const double* init_score, int32_t scene_idx, int32_t n_arr,
+    const uint8_t* follow, int32_t n_follow, double* trace, int64_t* out_mut,
+    int64_t* out_n_mut, int64_t* out_arr, double* out_scores, int64_t* out_n,
+    double* out_init_max) {
+  SAConfig cfg{n_iter, seed, restart_prob, init_temp, min_temp,
+               weights4[0], weights4[1], weights4[2], weights4[3], wsum,
+               n_past, swap_thr, replace_thr, dup_pen, mismatch_pen,
+               existed_bonus, novel_bonus, decay_a, decay_b, base_scale,
+               mah_scale};
+  SATables t{n_obj, obj_static, obj_uidx, obj_class, obj_sigma, obj_pdf,
+             prop_off, prop_trans, prop_score, prop_add_pdf, prop_cent,
+             prop_sig, cells_off, cells, n_extra, ex_trans, ex_cent, ex_sig,
+             ex_cells_off, ex_cells, n_cells_total, n_scn_valid, n_past_arr,
+             past_off, past_uidx, past_class, past_pos, past_objidx,
+             scene_idx, n_arr};
+  MshRand rand(seed);
+  SAState st(cfg, t);
+  for (int32_t i = 0; i < n_init; ++i) {
+    SAPl p{init_uidx[i], init_arr_idx[i], init_objidx[i], init_ref[i],
+           init_score[i], 0.0, 0, 0};
+    st.committed.push_back(p);
+    st.add(p);
+  }
+
+  // likelihoods[0] (ADD) < 0.001 and < 2 items -> no-op (energy.py:814);
+  // the Python wrapper handles that gate before calling.
+
+  const double init_sc = st.score();
+  double prev_score = init_sc, max_score = init_sc;
+  int64_t n_mut = 0;
+
+  // _find_max_uidx over past arrangements + the committed current one
+  auto find_max_uidx = [&](int64_t* si, int64_t* pi) -> int64_t {
+    int64_t mx = 0; *si = -1; *pi = -1;
+    for (int32_t a = 0; a < t.n_past_arr; ++a)
+      for (int64_t j = t.past_off[a]; j < t.past_off[a + 1]; ++j)
+        if (t.past_uidx[j] > mx && !t.obj_static[t.past_objidx[j]]) {
+          mx = t.past_uidx[j]; *si = a; *pi = j - t.past_off[a];
+        }
+    for (int64_t j = 0; j < (int64_t)st.committed.size(); ++j) {
+      const SAPl& p = st.committed[j];
+      if (p.uidx > mx && !t.obj_static[p.objidx]) {
+        mx = p.uidx; *si = t.scene_idx; *pi = j;
+      }
+    }
+    return mx;
+  };
+
+  auto linearize_ids = [&]() -> bool {
+    int64_t si, pi;
+    int64_t mx = find_max_uidx(&si, &pi);
+    int64_t second = 0;
+    for (int32_t a = 0; a < t.n_past_arr; ++a)
+      for (int64_t j = t.past_off[a]; j < t.past_off[a + 1]; ++j) {
+        int64_t u = t.past_uidx[j];
+        if (second < u && u < mx && !t.obj_static[t.past_objidx[j]])
+          second = u;
+      }
+    for (const SAPl& p : st.committed) {
+      if (second < p.uidx && p.uidx < mx && !t.obj_static[p.objidx])
+        second = p.uidx;
+    }
+    if (mx - second > 1 && si >= 0) {
+      if (si == t.scene_idx) st.committed[pi].uidx = second + 1;
+      else t.past_uidx[t.past_off[si] + pi] = second + 1;
+      out_mut[3 * n_mut + 0] = si;
+      out_mut[3 * n_mut + 1] = pi;
+      out_mut[3 * n_mut + 2] = second + 1;
+      ++n_mut;
+      return true;
+    }
+    return false;
+  };
+
+  // pick_near: the SWAP action's distance-gated proposal redraw
+  auto pick_near = [&](int64_t obj, const float* target) -> int64_t {
+    int64_t lo = t.prop_off[obj], hi = t.prop_off[obj + 1];
+    if (hi == lo) return -1;  // trans[obj] is None
+    // d = float32 norms; dmin float32, compares in double like numpy
+    float dmin = 3.4e38f;
+    int64_t np_ = hi - lo;
+    std::vector<float> d(np_);
+    for (int64_t k = 0; k < np_; ++k) {
+      const float* tr = t.prop_trans + 3 * (lo + k);
+      const float dx = tr[0] - target[0];
+      const float dy = tr[1] - target[1];
+      const float dz = tr[2] - target[2];
+      d[k] = std::sqrt(dx * dx + dy * dy + dz * dz);
+      if (d[k] < dmin) dmin = d[k];
+    }
+    double thr = cfg.swap_thr;
+    if (thr < (double)dmin) thr = 2.0 * (double)dmin;
+    std::vector<int64_t> idxs;
+    for (int64_t k = 0; k < np_; ++k)
+      if ((double)d[k] < thr) idxs.push_back(k);
+    if (idxs.empty()) return -1;
+    return idxs[rand.next_u32() % idxs.size()];
+  };
+
+  enum UndoKind { U_NONE, U_POP, U_READD, U_SET1, U_SET2 };
+
+  for (int32_t it = 0; it < n_iter; ++it) {
+    int32_t restarted = 0;
+    if ((double)rand.next_f32() < cfg.restart_prob) {
+      restarted = 1;
+      st.rebuild_from_committed();
+    }
+
+    const double* pdf = (int64_t)st.items.size() < 2 ? pdf_noswap : pdf_full;
+    int64_t action = pdfsample_linear(pdf, 5, (double)rand.next_f32());
+
+    UndoKind undo = U_NONE;
+    SAPl saved_a{}, saved_b{};
+    int64_t undo_ia = -1, undo_ib = -1;
+
+    if (action == 0) {  // ADD
+      int64_t si_, pi_;
+      int64_t max_uidx = find_max_uidx(&si_, &pi_);
+      int64_t obj = pdfsample_linear(obj_pdf, n_obj, (double)rand.next_f32());
+      if (obj < n_obj && t.prop_off[obj + 1] > t.prop_off[obj]) {
+        int64_t lo = t.prop_off[obj], np_ = t.prop_off[obj + 1] - lo;
+        int64_t k = pdfsample_linear(prop_add_pdf + lo, np_,
+                                     (double)rand.next_f32());
+        if (k > np_ - 1) k = np_ - 1;
+        int64_t uidx = t.obj_uidx[obj];
+        for (const SAPl& q : st.committed)
+          if (q.uidx == uidx) { uidx = max_uidx + 1; break; }
+        SAPl p{uidx, t.scene_idx, obj, lo + k, prop_score[lo + k],
+               0.0, 0, 0};
+        st.add(p);
+        undo = U_POP;
+      }
+    } else if (action == 1) {  // REMOVE
+      int64_t n = (int64_t)st.items.size();
+      if (n > 0) {
+        int64_t idx = rand.next_u32() % n;
+        saved_a = st.remove_swap(idx);
+        undo = U_READD;
+      }
+    } else if (action == 2) {  // REPLACE
+      int64_t n = (int64_t)st.items.size();
+      if (n > 0) {
+        int64_t idx = rand.next_u32() % n;
+        SAPl old = st.items[idx];
+        const float* old_pos = st.trans_of(old);
+        // candidate collection with the reference's 1024-cap quirk
+        std::vector<int64_t> cand_ref;
+        std::vector<double> cand_sc;
+        for (int64_t i = 0; i < n_obj; ++i) {
+          if (t.obj_static[i]) continue;
+          int64_t lo = t.prop_off[i], hi = t.prop_off[i + 1];
+          if (hi == lo) continue;
+          int64_t np_ = hi - lo;
+          std::vector<uint8_t> match(np_);
+          int64_t n_match = 0;
+          for (int64_t k = 0; k < np_; ++k) {
+            const float* tr = t.prop_trans + 3 * (lo + k);
+            const float dx = tr[0] - old_pos[0];
+            const float dy = tr[1] - old_pos[1];
+            const float dz = tr[2] - old_pos[2];
+            float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
+            match[k] = (double)dist < cfg.replace_thr ? 1 : 0;
+            n_match += match[k];
+          }
+          if ((int64_t)cand_ref.size() + n_match < 1024) {
+            for (int64_t k = 0; k < np_; ++k)
+              if (match[k]) {
+                cand_ref.push_back(lo + k);
+                cand_sc.push_back(prop_score[lo + k]);
+              }
+          } else {
+            for (int64_t k = 0; k < np_; ++k) {
+              if (match[k]) {
+                cand_ref.push_back(lo + k);
+                cand_sc.push_back(prop_score[lo + k]);
+              }
+              if ((int64_t)cand_ref.size() >= 1024) break;
+            }
+          }
+        }
+        if (!cand_ref.empty()) {
+          // distrib2pdf with numpy's pairwise sum
+          int64_t nc = (int64_t)cand_sc.size();
+          double s = np_pairwise_sum(cand_sc.data(), nc);
+          std::vector<double> pdf2(nc);
+          if (s <= 1e-8) pdf2 = cand_sc;
+          else for (int64_t j = 0; j < nc; ++j) pdf2[j] = cand_sc[j] / s;
+          int64_t sel = pdfsample_linear(pdf2.data(), nc,
+                                         (double)rand.next_f32());
+          if (sel > nc - 1) sel = nc - 1;
+          int64_t g = cand_ref[sel];
+          // locate object of g
+          int64_t oi = 0;
+          while (t.prop_off[oi + 1] <= g) ++oi;
+          SAPl p{t.obj_uidx[oi], (int64_t)t.n_arr, oi, g, prop_score[g],
+                 0.0, 0, 0};
+          saved_a = old;
+          undo_ia = idx;
+          st.set(idx, p);
+          undo = U_SET1;
+        }
+      }
+    } else if (action == 3) {  // SWAP
+      int64_t n = (int64_t)st.items.size();
+      int64_t ia = rand.next_u32() % n;
+      int64_t ib = ia;
+      while (ib == ia) ib = rand.next_u32() % n;
+      SAPl a = st.items[ia], b = st.items[ib];
+      saved_a = a; saved_b = b;
+      undo_ia = ia; undo_ib = ib;
+      int64_t ka = pick_near(a.objidx, st.trans_of(b));
+      int64_t kb = pick_near(b.objidx, st.trans_of(a));
+      if (ka >= 0) {
+        int64_t g = t.prop_off[a.objidx] + ka;
+        st.set(ia, SAPl{a.uidx, a.arr_idx, a.objidx, g, prop_score[g],
+                        0.0, 0, 0});
+      }
+      if (kb >= 0) {
+        int64_t g = t.prop_off[b.objidx] + kb;
+        st.set(ib, SAPl{b.uidx, b.arr_idx, b.objidx, g, prop_score[g],
+                        0.0, 0, 0});
+      }
+      undo = U_SET2;
+    } else if (action == 4) {  // MOVE
+      int64_t n = (int64_t)st.items.size();
+      if (n > 0) {
+        int64_t idx = rand.next_u32() % n;
+        SAPl old = st.items[idx];
+        int64_t lo = t.prop_off[old.objidx];
+        int64_t np_ = t.prop_off[old.objidx + 1] - lo;
+        if (np_ > 0) {
+          int64_t k = rand.next_u32() % np_;
+          saved_a = old;
+          undo_ia = idx;
+          st.set(idx, SAPl{old.uidx, old.arr_idx, old.objidx, lo + k,
+                           prop_score[lo + k], 0.0, 0, 0});
+          undo = U_SET1;
+        }
+      }
+    }
+
+    double cur_score = st.score();
+    if (cur_score < 0.0) {
+      st.committed = st.items;
+      // Python writes no trace line for this iteration (break before write)
+      *out_n_mut = n_mut;
+      int64_t nout = (int64_t)st.committed.size();
+      for (int64_t j = 0; j < nout; ++j) {
+        out_arr[4 * j + 0] = st.committed[j].uidx;
+        out_arr[4 * j + 1] = st.committed[j].arr_idx;
+        out_arr[4 * j + 2] = st.committed[j].objidx;
+        out_arr[4 * j + 3] = st.committed[j].ref;
+        out_scores[j] = st.committed[j].score;
+      }
+      *out_n = nout;
+      out_init_max[0] = init_sc;
+      out_init_max[1] = max_score;
+      return it;
+    }
+    double frac = 1.0 - (double)it / (double)n_iter;
+    double temp = cfg.init_temp * frac;
+    if (temp < cfg.min_temp) temp = cfg.min_temp;
+    double accept_p = cur_score > prev_score
+                          ? 1.0
+                          : std::exp(-(prev_score - cur_score) / temp);
+    double roll = (double)rand.next_f32();
+    bool accepted = accept_p >= roll;
+    double* tr = trace + 10 * it;
+    tr[0] = it; tr[1] = restarted; tr[2] = (double)action;
+    tr[3] = (double)st.items.size(); tr[4] = prev_score; tr[5] = cur_score;
+    tr[6] = temp; tr[7] = accept_p; tr[8] = roll; tr[9] = accepted ? 1 : 0;
+    if (follow && it < n_follow) accepted = follow[it] != 0;
+    if (accepted) {
+      prev_score = cur_score;
+      if (cur_score > max_score) {
+        max_score = cur_score;
+        st.committed = st.items;
+      }
+    } else {
+      switch (undo) {
+        case U_POP:
+          st.remove_swap((int64_t)st.items.size() - 1);
+          break;
+        case U_READD:
+          st.add(saved_a);
+          break;
+        case U_SET1:
+          st.set(undo_ia, saved_a);
+          break;
+        case U_SET2:
+          st.set(undo_ia, saved_a);
+          st.set(undo_ib, saved_b);
+          break;
+        default:
+          break;
+      }
+    }
+    if (linearize_ids()) st.refresh_f();
+  }
+
+  *out_n_mut = n_mut;
+  int64_t nout = (int64_t)st.committed.size();
+  for (int64_t j = 0; j < nout; ++j) {
+    out_arr[4 * j + 0] = st.committed[j].uidx;
+    out_arr[4 * j + 1] = st.committed[j].arr_idx;
+    out_arr[4 * j + 2] = st.committed[j].objidx;
+    out_arr[4 * j + 3] = st.committed[j].ref;
+    out_scores[j] = st.committed[j].score;
+  }
+  *out_n = nout;
+  out_init_max[0] = init_sc;
+  out_init_max[1] = max_score;
+  return n_iter;
+}
+
 // The reference's deterministic merge shuffle: Fisher-Yates driven by a
 // fresh PCG32 (rs_pointcloud_merge, lib/rs/rs_pointcloud.h:383-446).
 // Bit-exact with utils/rng.MshRand: next_f32 yields the same real number
@@ -727,10 +1396,29 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
     for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
       wsum[i] += csr_w[e];
 
+  // EXACT active-set Jacobi: Q_new[i] depends only on Q[i] and Q[nbr(i)],
+  // so a node whose own and neighbor rows are bitwise unchanged since the
+  // previous iteration recomputes to the bitwise-identical row — skip it.
+  // Beliefs freeze bitwise within a few iterations under FTZ/float32, so
+  // late sweeps touch only the label-boundary fringe (same final Q as the
+  // fixed 30-sweep schedule; the whole loop exits once nothing changes).
+  std::vector<uint8_t> changed(n, 1), changed_new(n, 0);
   std::vector<float> scratch(L);
   float* agree = scratch.data();
   for (int32_t it = 0; it < n_mf; ++it) {
+    int64_t n_active = 0;
     for (int64_t i = 0; i < n; ++i) {
+      uint8_t active = changed[i];
+      for (int32_t e = csr_off[i]; !active && e < csr_off[i + 1]; ++e)
+        active = changed[csr_nbr[e]];
+      float* qo = &Qn[(size_t)i * L];
+      const float* qi = &Q[(size_t)i * L];
+      if (!active) {
+        std::memcpy(qo, qi, L * sizeof(float));
+        changed_new[i] = 0;
+        continue;
+      }
+      ++n_active;
       for (int32_t l = 0; l < L; ++l) agree[l] = 0.0f;
       for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
         const float w = csr_w[e];
@@ -750,12 +1438,14 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
         sum += agree[l];
       }
       const float inv_sum = 1.0f / sum;
-      const float* qi = &Q[(size_t)i * L];
-      float* qo = &Qn[(size_t)i * L];
       for (int32_t l = 0; l < L; ++l)
         qo[l] = 0.5f * qi[l] + 0.5f * agree[l] * inv_sum;
+      changed_new[i] =
+          std::memcmp(qo, qi, L * sizeof(float)) != 0 ? 1 : 0;
     }
     Q.swap(Qn);
+    changed.swap(changed_new);
+    if (n_active == 0) break;  // fully converged: remaining sweeps no-op
   }
 
   std::vector<int32_t> lab(n), lab2(n);
@@ -767,20 +1457,39 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
     lab[i] = best;
   }
 
+  // ICM with an exact staleness cache: a node's argmin depends only on its
+  // neighbors' labels, so re-evaluate only when one changed since the last
+  // evaluation; unmasked nodes keep their label without evaluation (the
+  // masked-Jacobi semantics are unchanged — masks still gate application).
+  std::vector<int32_t> best_cache(n, -1);
+  std::vector<uint8_t> stale(n, 1);
   for (int32_t s = 0; s < n_icm; ++s) {
     const uint8_t* mask = icm_mask + (size_t)s * n;
     for (int64_t i = 0; i < n; ++i) {
-      for (int32_t l = 0; l < L; ++l) agree[l] = 0.0f;
-      for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
-        agree[lab[csr_nbr[e]]] += csr_w[e];
-      const float* ui = U + (size_t)i * L;
-      int32_t best = 0;
-      float bestE = ui[0] + wsum[i] - agree[0];
-      for (int32_t l = 1; l < L; ++l) {
-        float E = ui[l] + wsum[i] - agree[l];
-        if (E < bestE) { bestE = E; best = l; }
+      if (!mask[i]) { lab2[i] = lab[i]; continue; }
+      if (stale[i]) {
+        for (int32_t l = 0; l < L; ++l) agree[l] = 0.0f;
+        for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
+          agree[lab[csr_nbr[e]]] += csr_w[e];
+        const float* ui = U + (size_t)i * L;
+        int32_t best = 0;
+        float bestE = ui[0] + wsum[i] - agree[0];
+        for (int32_t l = 1; l < L; ++l) {
+          float E = ui[l] + wsum[i] - agree[l];
+          if (E < bestE) { bestE = E; best = l; }
+        }
+        best_cache[i] = best;
+        stale[i] = 0;
       }
-      lab2[i] = mask[i] ? best : lab[i];
+      lab2[i] = best_cache[i];
+    }
+    // propagate staleness from label flips (Jacobi: after the sweep)
+    for (int64_t i = 0; i < n; ++i) {
+      if (lab2[i] != lab[i]) {
+        stale[i] = 1;
+        for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
+          stale[csr_nbr[e]] = 1;
+      }
     }
     lab.swap(lab2);
   }

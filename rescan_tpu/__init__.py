@@ -22,3 +22,18 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS before any backend init: this image's
+# sitecustomize force-registers the axon TPU PJRT plugin, which ignores the
+# env var — so without this pin a JAX_PLATFORMS=cpu run still waits on the
+# TPU tunnel (indefinitely, during an outage). jax.config is the effective
+# switch (same pin as tests/conftest.py and bench.py).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backend already initialized; the caller's choice stands

@@ -104,6 +104,35 @@ def _load():
     lib.rescan_alias_build.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
+    lib.rescan_sa_run.restype = ctypes.c_int64
+    lib.rescan_sa_run.argtypes = (
+        # n_iter, seed, restart_prob, init_temp, min_temp
+        [ctypes.c_int32, ctypes.c_uint32, ctypes.c_double, ctypes.c_double,
+         ctypes.c_double,
+         # weights4*, wsum, n_past
+         ctypes.c_void_p, ctypes.c_double, ctypes.c_int32,
+         # swap_thr, replace_thr, dup/mismatch/existed/novel
+         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+         ctypes.c_double, ctypes.c_double,
+         # decay_a, decay_b, base_scale, mah_scale
+         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+         # pdf_full, pdf_noswap, n_obj
+         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        # obj_static/uidx/class/sigma/pdf (5), prop_off/trans/score/
+        # add_pdf/cent/sig (6), cells_off/cells (2)
+        + [ctypes.c_void_p] * 13
+        # n_extra, ex_trans/cent/sig/cells_off/cells
+        + [ctypes.c_int64] + [ctypes.c_void_p] * 5
+        # n_cells_total, n_scn_valid, n_past_arr
+        + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+        # past_off/uidx/class/pos/objidx
+        + [ctypes.c_void_p] * 5
+        # n_init, init_uidx/arr_idx/objidx/ref/score
+        + [ctypes.c_int32] + [ctypes.c_void_p] * 5
+        # scene_idx, n_arr, follow, n_follow
+        + [ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
+        # trace, out_mut, out_n_mut, out_arr, out_scores, out_n, out_init_max
+        + [ctypes.c_void_p] * 7)
     _lib = lib
     return lib
 
@@ -382,3 +411,61 @@ class HostGrid:
             self._lib.rescan_grid_free(ctypes.c_void_p(self._handle))
         except Exception:
             pass
+
+
+def sa_run(cfg: dict, tables: dict, init: dict, follow=None):
+    """Native simulated-annealing action loop (rescan_sa_run): bit-exact
+    replica of ops/energy.simulated_annealing's Python loop. ``cfg``/
+    ``tables``/``init`` are the marshalled dicts built by
+    energy._marshal_sa. Returns (n_done, trace[n_done,10], mutations[m,3],
+    out_items, out_scores, (init_score, max_score)); ``tables['past_uidx']``
+    is mutated in place by linearize-ids."""
+    lib = _load()
+    n_iter = int(cfg["n_iter"])
+    trace = np.zeros((n_iter, 10), np.float64)
+    out_mut = np.zeros((n_iter + 1, 3), np.int64)
+    out_n_mut = np.zeros(1, np.int64)
+    cap_out = int(init["uidx"].size) + n_iter + 8
+    out_arr = np.zeros((cap_out, 4), np.int64)
+    out_scores = np.zeros(cap_out, np.float64)
+    out_n = np.zeros(1, np.int64)
+    out_init_max = np.zeros(2, np.float64)
+    if follow is None:
+        follow_a, n_follow = np.zeros(0, np.uint8), 0
+    else:
+        follow_a = np.ascontiguousarray(follow, np.uint8)
+        n_follow = len(follow_a)
+
+    def P(a):
+        return ctypes.c_void_p(a.ctypes.data) if a.size else None
+
+    n_done = lib.rescan_sa_run(
+        n_iter, ctypes.c_uint32(cfg["seed"]), cfg["restart_prob"],
+        cfg["init_temp"], cfg["min_temp"], P(cfg["weights4"]), cfg["wsum"],
+        int(cfg["n_past"]), cfg["swap_thr"], cfg["replace_thr"],
+        cfg["dup_pen"], cfg["mismatch_pen"], cfg["existed_bonus"],
+        cfg["novel_bonus"], cfg["decay_a"], cfg["decay_b"],
+        cfg["base_scale"], cfg["mah_scale"], P(cfg["pdf_full"]),
+        P(cfg["pdf_noswap"]), int(tables["n_obj"]),
+        P(tables["obj_static"]), P(tables["obj_uidx"]),
+        P(tables["obj_class"]), P(tables["obj_sigma"]), P(tables["obj_pdf"]),
+        P(tables["prop_off"]), P(tables["prop_trans"]),
+        P(tables["prop_score"]), P(tables["prop_add_pdf"]),
+        P(tables["prop_cent"]), P(tables["prop_sig"]),
+        P(tables["cells_off"]), P(tables["cells"]),
+        int(tables["n_extra"]), P(tables["ex_trans"]), P(tables["ex_cent"]),
+        P(tables["ex_sig"]), P(tables["ex_cells_off"]), P(tables["ex_cells"]),
+        int(tables["n_cells_total"]), int(tables["n_scn_valid"]),
+        int(tables["n_past_arr"]), P(tables["past_off"]),
+        P(tables["past_uidx"]), P(tables["past_class"]),
+        P(tables["past_pos"]), P(tables["past_objidx"]),
+        int(init["uidx"].size), P(init["uidx"]), P(init["arr_idx"]),
+        P(init["objidx"]), P(init["ref"]), P(init["score"]),
+        int(tables["scene_idx"]), int(tables["n_arr"]),
+        P(follow_a), n_follow, P(trace), P(out_mut), P(out_n_mut),
+        P(out_arr), P(out_scores), P(out_n), P(out_init_max))
+    m = int(out_n_mut[0])
+    n_out = int(out_n[0])
+    return (int(n_done), trace[:n_done], out_mut[:m],
+            out_arr[:n_out], out_scores[:n_out],
+            (float(out_init_max[0]), float(out_init_max[1])))

@@ -34,6 +34,30 @@ _FIELDS = ("positions", "normals", "colors", "radii", "qualities",
            "class_ids", "instance_ids")
 
 
+class _LazyLevels(list):
+    """Level list that joins a pending background LoD build on access.
+
+    ``defer_levels_from`` ingest hands the tail levels to a worker thread
+    (the native Poisson subsample releases the GIL, so on the 1-core host
+    it fills in while the main thread waits on TPU-tunnel transfers);
+    reading a still-None entry joins the build first, so every consumer —
+    including direct ``cloud.levels[lvl]`` indexing — sees the identical
+    bit-exact arrays."""
+
+    future = None
+
+    def __getitem__(self, i):
+        if self.future is not None and list.__getitem__(self, i) is None:
+            f, self.future = self.future, None
+            f.result()
+        return list.__getitem__(self, i)
+
+    def join(self):
+        if self.future is not None:
+            f, self.future = self.future, None
+            f.result()
+
+
 @dataclasses.dataclass
 class PointCloud:
     levels: List[Level]
@@ -48,16 +72,19 @@ class PointCloud:
 
     @classmethod
     def from_arrays(cls, level0: Level, faces: Optional[np.ndarray] = None,
-                    compute_levels: bool = True) -> "PointCloud":
+                    compute_levels: bool = True,
+                    defer_levels_from: Optional[int] = None) -> "PointCloud":
         lvl0 = {k: np.ascontiguousarray(level0[k]) for k in _FIELDS}
-        pc = cls(levels=[lvl0] + [None] * (config.N_LEVELS - 1), faces=faces)
+        pc = cls(levels=_LazyLevels([lvl0] + [None] * (config.N_LEVELS - 1)),
+                 faces=faces)
         if compute_levels:
-            pc.compute_levels()
+            pc.compute_levels(defer_from=defer_levels_from)
         return pc
 
     @classmethod
     def from_ply(cls, path: str, compute_levels: bool = True,
-                 verbose: bool = False) -> "PointCloud":
+                 verbose: bool = False,
+                 defer_levels_from: Optional[int] = None) -> "PointCloud":
         """Load + (if mesh) resample + build LoDs
         (rs_pointcloud_from_files, rs_pointcloud.h:1247-1291)."""
         cloud = plyio.load_surfel_ply(path)
@@ -67,7 +94,8 @@ class PointCloud:
             faces = None  # resampled soups carry no faces (rs_pointcloud.h:1271-1276)
         else:
             faces = None
-        pc = cls.from_arrays(cloud, faces=faces, compute_levels=compute_levels)
+        pc = cls.from_arrays(cloud, faces=faces, compute_levels=compute_levels,
+                             defer_levels_from=defer_levels_from)
         return pc
 
     # ------------------------------------------------------------------
@@ -115,16 +143,44 @@ class PointCloud:
     # Level pyramid
     # ------------------------------------------------------------------
 
-    def compute_levels(self) -> None:
+    def compute_levels(self, defer_from: Optional[int] = None) -> None:
         """Rebuild levels 1..4 by Poisson-disk subsampling level 0
-        (rs_pointcloud_compute_levels, rs_pointcloud.h:1305-1316)."""
+        (rs_pointcloud_compute_levels, rs_pointcloud.h:1305-1316).
+
+        ``defer_from``: levels >= this are built on a background thread
+        (joined transparently on first access — _LazyLevels). Each level
+        subsamples level 0 independently, so the deferred results are
+        bit-identical to the eager ones."""
+        if isinstance(self.levels, _LazyLevels):
+            self.levels.join()
         self._invalidate()
-        lvl0 = self.levels[0]
-        for lvl in range(1, config.N_LEVELS):
+        lvl0 = list.__getitem__(self.levels, 0) \
+            if isinstance(self.levels, _LazyLevels) else self.levels[0]
+
+        def build(lvl: int) -> None:
             idx = native.poisson_subsample(lvl0["positions"],
                                            config.LEVEL_VOXEL_SIZES[lvl])
-            self.levels[lvl] = {k: np.ascontiguousarray(lvl0[k][idx])
-                                for k in _FIELDS}
+            lv = {k: np.ascontiguousarray(lvl0[k][idx]) for k in _FIELDS}
+            list.__setitem__(self.levels, lvl, lv) \
+                if isinstance(self.levels, _LazyLevels) else \
+                self.levels.__setitem__(lvl, lv)
+
+        stop = config.N_LEVELS if defer_from is None \
+            else max(min(defer_from, config.N_LEVELS), 1)
+        for lvl in range(1, stop):
+            build(lvl)
+        if stop < config.N_LEVELS:
+            if not isinstance(self.levels, _LazyLevels):
+                self.levels = _LazyLevels(self.levels)
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1)
+
+            def build_rest():
+                for lvl in range(stop, config.N_LEVELS):
+                    build(lvl)
+
+            self.levels.future = ex.submit(build_rest)
+            ex.shutdown(wait=False)
 
     # ------------------------------------------------------------------
     # Copy / extract / merge / transform (rs_pointcloud.h:174-446,1354-1378)

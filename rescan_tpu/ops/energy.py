@@ -791,6 +791,205 @@ def _linearize_ids(db: Rsdb, obj_static=None) -> bool:
     return False
 
 
+def _obj_sigma_of(db: Rsdb) -> np.ndarray:
+    return np.array(
+        [max(config.HYSTER_SIGMA_A
+             * np.exp(-config.HYSTER_SIGMA_B * _bbox_volume(o.cloud))
+             + config.HYSTER_SIGMA_C, config.HYSTER_SIGMA_MIN)
+         for o in db.objects], np.float64)
+
+
+def _marshal_sa(ctx: EnergyContext, db: Rsdb, scene_idx: int,
+                opts: config.ArrangementOpts):
+    """Precompute every geometric quantity the native SA loop consumes
+    (native/rescan_host.cpp::rescan_sa_run): per-proposal salient-cell CSR,
+    gaussians, translations, ADD pdfs, initial-item 'extra' tables, and the
+    (mutable) past-arrangement windows."""
+    poses = db.proposed_poses[scene_idx]
+    pscores = db.proposed_scores[scene_idx]
+    n_obj = len(db.objects)
+    n_arr = len(db.arrangements)
+
+    lik = np.array([0.0 if ctx.obj_static[i] else 1.0 for i in range(n_obj)])
+    prop_off = [0]
+    trans_l, score_l, add_pdf_l, cent_l, sig_l = [], [], [], [], []
+    cells_l, cells_off = [], [0]
+    for i in range(n_obj):
+        k = 0 if poses[i] is None else len(poses[i])
+        if k:
+            ps = np.asarray(poses[i], np.float32)
+            trans_l.append(np.ascontiguousarray(ps[:, :3, 3]))
+            sc = np.asarray(pscores[i], np.float64)
+            score_l.append(sc)
+            mx, mn = max(sc.max(), 0.0), min(sc.min(), 1.0)
+            rangev = mx - mn
+            norm = (sc - mn) / rangev if rangev > 0 else np.zeros_like(sc)
+            add_pdf_l.append(mshrng.distrib2pdf(norm))
+            if not ctx.obj_static[i] and len(ctx.proposal_centroid[i]):
+                cent_l.append(ctx.proposal_centroid[i])
+                sig_l.append(ctx.proposal_sigma_inv[i])
+                for c in ctx.proposal_cells[i]:
+                    sal = c[ctx.scn_valid[c]]
+                    cells_l.append(sal)
+                    cells_off.append(cells_off[-1] + len(sal))
+            else:
+                # static object that still has proposals (the prob==0.0
+                # ADD edge case can select it): same gaussians, no cells
+                cents, sigs = [], []
+                obj = db.objects[i].cloud
+                c0, cov = obj.centroid(0), obj.covariance(0).astype(np.float64)
+                for p in range(k):
+                    T = np.asarray(poses[i][p], np.float32)
+                    R = T[:3, :3].astype(np.float64)
+                    cents.append(R @ c0 + T[:3, 3])
+                    sigs.append(np.linalg.pinv(R @ cov @ R.T))
+                cent_l.append(np.asarray(cents).reshape(-1, 3))
+                sig_l.append(np.asarray(sigs).reshape(-1, 3, 3))
+                for _ in range(k):
+                    cells_l.append(np.zeros(0, np.int64))
+                    cells_off.append(cells_off[-1])
+        prop_off.append(prop_off[-1] + k)
+
+    def cat(lst, dtype, width):
+        if not lst:
+            return np.zeros((0, width) if width > 1 else 0, dtype)
+        a = np.concatenate([np.asarray(x, dtype).reshape(-1, width)
+                            for x in lst])
+        return np.ascontiguousarray(a if width > 1 else a.reshape(-1))
+
+    init_items = list(db.arrangements[scene_idx])
+    ex_trans, ex_cent, ex_sig = [], [], []
+    ex_cells, ex_cells_off = [], [0]
+    init = dict(
+        uidx=np.array([p.uidx for p in init_items], np.int64),
+        arr_idx=np.array([p.arrangement_idx for p in init_items], np.int64),
+        objidx=np.array([p.object_idx for p in init_items], np.int64),
+        ref=np.array([-1 - j for j in range(len(init_items))], np.int64),
+        score=np.array([p.score for p in init_items], np.float64))
+    for p in init_items:
+        ex_trans.append(np.asarray(p.pose, np.float32)[:3, 3])
+        cent, sig_inv = placement_gaussian(ctx, db, p)
+        ex_cent.append(cent)
+        ex_sig.append(sig_inv)
+        if ctx.obj_static[p.object_idx]:
+            sal = np.zeros(0, np.int64)
+        else:
+            c = placement_cells(ctx, db, p)
+            sal = c[ctx.scn_valid[c]]
+        ex_cells.append(sal)
+        ex_cells_off.append(ex_cells_off[-1] + len(sal))
+
+    past_off = [0]
+    past_uidx, past_class, past_pos, past_objidx = [], [], [], []
+    for ai in range(n_arr - 1):
+        arr = db.arrangements[ai]
+        for p in arr:
+            past_uidx.append(p.uidx)
+            past_class.append(db.objects[p.object_idx].class_idx)
+            past_pos.append(np.asarray(p.pose, np.float32)[:3, 3])
+            past_objidx.append(p.object_idx)
+        past_off.append(len(past_uidx))
+
+    likelihoods = np.asarray(opts.sa_action_likelihoods, np.float64)
+    lk_noswap = likelihoods.copy()
+    lk_noswap[3] = 0.0
+    weights = np.asarray(opts.energy_weights_sa, np.float64)
+    cfg = dict(
+        n_iter=opts.n_sa_iter, seed=config.SA_SEED,
+        restart_prob=config.SA_RESTART_PROB, init_temp=config.SA_INIT_TEMP,
+        min_temp=config.SA_MIN_TEMP, weights4=np.ascontiguousarray(weights),
+        wsum=float(weights.sum()), n_past=opts.n_past_steps,
+        swap_thr=config.SWAP_DIST_THRESHOLD,
+        replace_thr=config.REPLACE_DIST_THRESHOLD,
+        dup_pen=config.HYSTER_DUPLICATE_PENALTY,
+        mismatch_pen=config.HYSTER_MISMATCH_PENALTY,
+        existed_bonus=config.HYSTER_EXISTED_BONUS,
+        novel_bonus=config.HYSTER_NOVEL_BONUS,
+        decay_a=config.HYSTER_DECAY_A, decay_b=config.HYSTER_DECAY_B,
+        base_scale=config.HYSTER_BASE_SCALE,
+        mah_scale=config.ISECT_MAHALANOBIS_SCALE,
+        pdf_full=np.ascontiguousarray(mshrng.distrib2pdf(likelihoods)),
+        pdf_noswap=np.ascontiguousarray(mshrng.distrib2pdf(lk_noswap)))
+    tables = dict(
+        n_obj=n_obj, obj_static=ctx.obj_static.astype(np.uint8),
+        obj_uidx=np.array([o.uidx for o in db.objects], np.int64),
+        obj_class=np.ascontiguousarray(ctx.obj_class, np.int64),
+        obj_sigma=_obj_sigma_of(db),
+        obj_pdf=np.ascontiguousarray(mshrng.distrib2pdf(lik)),
+        prop_off=np.asarray(prop_off, np.int64),
+        prop_trans=cat(trans_l, np.float32, 3),
+        prop_score=cat(score_l, np.float64, 1),
+        prop_add_pdf=cat(add_pdf_l, np.float64, 1),
+        prop_cent=cat(cent_l, np.float64, 3),
+        prop_sig=cat([s.reshape(-1, 9) for s in sig_l], np.float64, 9),
+        cells_off=np.asarray(cells_off, np.int64),
+        cells=cat(cells_l, np.int64, 1),
+        n_extra=len(init_items),
+        ex_trans=cat(ex_trans, np.float32, 3),
+        ex_cent=cat(ex_cent, np.float64, 3),
+        ex_sig=cat([s.reshape(9) for s in ex_sig], np.float64, 9),
+        ex_cells_off=np.asarray(ex_cells_off, np.int64),
+        ex_cells=cat(ex_cells, np.int64, 1),
+        n_cells_total=len(ctx.scn_valid), n_scn_valid=ctx.n_scn_valid,
+        n_past_arr=n_arr - 1,
+        past_off=np.asarray(past_off, np.int64),
+        past_uidx=np.asarray(past_uidx, np.int64),
+        past_class=np.asarray(past_class, np.int64),
+        past_pos=cat(past_pos, np.float32, 3),
+        past_objidx=np.asarray(past_objidx, np.int64),
+        scene_idx=scene_idx, n_arr=n_arr)
+    return cfg, tables, init, init_items
+
+
+def _simulated_annealing_native(ctx: EnergyContext, db: Rsdb, scene_idx: int,
+                                opts: config.ArrangementOpts,
+                                trace_fp=None, follow=None) -> None:
+    from ..core import native
+
+    cfg, tables, init, init_items = _marshal_sa(ctx, db, scene_idx, opts)
+    follow_a = None
+    if follow is not None:
+        follow_a = np.array([int(r[9]) for r in follow], np.uint8)
+    n_done, trace, muts, out_items, out_scores, (init_sc, max_sc) = \
+        native.sa_run(cfg, tables, init, follow=follow_a)
+
+    if trace_fp is not None:
+        for r in trace:
+            trace_fp.write(f"{int(r[0])} {int(r[1])} {int(r[2])} "
+                           f"{int(r[3])} {r[4]:.9g} {r[5]:.9g} {r[6]:.9g} "
+                           f"{r[7]:.9g} {r[8]:.9g} {int(r[9])}\n")
+
+    # replay linearize-ids mutations on the PAST arrangements (the native
+    # loop already applied them to its own committed copy; past_uidx was
+    # mutated in place but db holds Placement objects, not that buffer)
+    for si, pi, u in muts:
+        if si < scene_idx:
+            db.arrangements[int(si)][int(pi)].uidx = int(u)
+
+    poses = db.proposed_poses[scene_idx]
+    pscores = db.proposed_scores[scene_idx]
+    prop_off = tables["prop_off"]
+    out = []
+    for (uidx, arr_idx, objidx, ref), score in zip(out_items, out_scores):
+        if ref >= 0:
+            i = int(np.searchsorted(prop_off, ref, side="right") - 1)
+            k = int(ref - prop_off[i])
+            out.append(Placement(uidx=int(uidx),
+                                 arrangement_idx=int(arr_idx),
+                                 object_idx=i, pose_idx=k,
+                                 pose=poses[i][k],
+                                 score=float(pscores[i][k])))
+        else:
+            orig = init_items[int(-1 - ref)]
+            out.append(Placement(uidx=int(uidx),
+                                 arrangement_idx=int(arr_idx),
+                                 object_idx=int(objidx),
+                                 pose_idx=orig.pose_idx, pose=orig.pose,
+                                 score=float(score)))
+    db.arrangements[scene_idx] = out
+    print(f"SIMULATED_ANNEALING: Done. | Score: {init_sc:f} -> {max_sc:f}")
+
+
 def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
                         opts: config.ArrangementOpts,
                         trace_fp=None, follow=None) -> None:
@@ -801,7 +1000,21 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
     oracle trace rows; each iteration's accept decision is FORCED to the
     oracle's so both trajectories stay on the identical state sequence and
     every divergence is localized to the step it happened at instead of
-    cascading."""
+    cascading.
+
+    Engine dispatch: the default engine is the native C++ loop
+    (rescan_sa_run — bit-exact with this Python loop, which PARITY_r03
+    proved oracle-exact vs the instrumented reference; trace equality is
+    unit-tested). RESCAN_SA_ENGINE=python selects this Python loop."""
+    import os as _os
+
+    likelihoods = np.asarray(opts.sa_action_likelihoods, np.float64)
+    if likelihoods[0] < 0.001 and len(db.arrangements[scene_idx]) < 2:
+        return
+    if _os.environ.get("RESCAN_SA_ENGINE", "native") == "native":
+        return _simulated_annealing_native(ctx, db, scene_idx, opts,
+                                           trace_fp=trace_fp, follow=follow)
+
     rand = mshrng.MshRand(config.SA_SEED)
     poses = db.proposed_poses[scene_idx]
     pscores = db.proposed_scores[scene_idx]

@@ -456,7 +456,10 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     # the final sort (apps/pose_proposal/main.cpp:144-208)
     t_start = time.perf_counter()
     timings = {}
-    scn_cloud = PointCloud.from_ply(scene_filename)
+    # levels 3-4 are unused by this stage; defer them to a background
+    # thread (native subsample releases the GIL) that fills in while the
+    # main thread waits on the first device transfers/launches
+    scn_cloud = PointCloud.from_ply(scene_filename, defer_levels_from=3)
     scene = rsdbio.RsScene(
         uidx=len(db.scenes), arrangement_idx=len(db.scenes),
         scn_filename=scene_filename,
@@ -500,10 +503,45 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
     if verbose:
         print(f"PROFILE: grid search (all objects) {timings['grid_search']:.2f}s")
     t_stage = time.perf_counter()
-    proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+
+    # --- ICP prep is proposal-independent: build the ICP-level scene index
+    # (host Morton sort + async device uploads) and the unique-object point
+    # batch on a worker thread while NMS suppresses on the main thread —
+    # the transfers ride the tunnel during the host-serial NMS (the same
+    # overlap the occupancy prune already uses against scoring) ---
+    icp_lvl = config.REFINE_ICP_LVL
+    dyn_objs = [i for i in range(len(db.objects))
+                if not db.is_object_static(i)]
+
+    def _icp_prep():
+        # tile=1024 pairs with bq=128 (pallas_nn.block_for_index): the
+        # sweep's fastest ICP geometry AND required headroom in scoped
+        # VMEM — the want_idx kernel at (512, 2048) OOMs once the
+        # ICP-level slab passes ~140 tiles
+        grid = search.build_index(scn_cloud.pos(icp_lvl),
+                                  config.REFINE_ICP_MAX_DIST,
+                                  normals=scn_cloud.nrm(icp_lvl),
+                                  tile=1024)
+        if not dyn_objs:
+            return grid, None, None, None
+        # n_min/Bp floor: match segment_transfer's refine batch shapes so
+        # the two stages share one compiled ICP program; batching ALL
+        # dynamic objects (not just proposal owners) keeps the unique-batch
+        # shape stable across timesteps -> one compiled program
+        n_min = max(len(db.objects[i].cloud.pos(icp_lvl)) for i in dyn_objs)
+        u, un, um = icp.prep_unique_batch(
+            [db.objects[i].cloud.pos(icp_lvl) for i in dyn_objs],
+            [db.objects[i].cloud.nrm(icp_lvl) for i in dyn_objs],
+            n_min=n_min)
+        return grid, u, un, um
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        icp_prep_future = ex.submit(_icp_prep)
+        proposals = non_maxima_suppression(db, proposals, verbose=verbose)
+        icp_grid, upts, unrm, umask = icp_prep_future.result()
     timings["nms"] = time.perf_counter() - t_stage
     if verbose:
-        print(f"PROFILE: NMS {timings['nms']:.2f}s")
+        print(f"PROFILE: NMS (|| ICP prep) {timings['nms']:.2f}s")
     t_stage = time.perf_counter()
 
     # --- copy poses from ALL previous arrangements as proposals, score 10
@@ -517,16 +555,7 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
 
     # --- batched ICP refinement of every proposal of every dynamic object
     # (main.cpp:176-204: obj/scene level 2, max_dist 0.1, 60 deg; rescore
-    # at query level 1) ---
-    icp_lvl = config.REFINE_ICP_LVL
-    # tile=1024 pairs with bq=128 (pallas_nn.block_for_index): the sweep's
-    # fastest ICP geometry AND required headroom in scoped VMEM — the
-    # want_idx kernel at (512, 2048) OOMs once the ICP-level slab passes
-    # ~140 tiles
-    icp_grid = search.build_index(scn_cloud.pos(icp_lvl),
-                                  config.REFINE_ICP_MAX_DIST,
-                                  normals=scn_cloud.nrm(icp_lvl),
-                                  tile=1024)
+    # at query level 1); icp_grid/upts were prepared during the NMS ---
     flat_T, owners = [], []
     for i in range(len(db.objects)):
         if db.is_object_static(i) or not prop_lists[i]:
@@ -543,16 +572,7 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
         # gathered on device inside the jit (the materialized batch tiled
         # the same few objects ~50x and its upload dominated this
         # substage's wall time — see BUDGET_r03.json)
-        uniq = sorted(by_obj.keys())
-        row_of = {i: r for r, i in enumerate(uniq)}
-        # n_min/Bp floor: match segment_transfer's refine batch shapes so
-        # the two stages share one compiled ICP program
-        n_min = max((len(db.objects[i].cloud.pos(icp_lvl))
-                     for i in range(len(db.objects))
-                     if not db.is_object_static(i)), default=1)
-        upts, unrm, umask = icp.prep_unique_batch(
-            [db.objects[i].cloud.pos(icp_lvl) for i in uniq],
-            [db.objects[i].cloud.nrm(icp_lvl) for i in uniq], n_min=n_min)
+        row_of = {i: r for r, i in enumerate(dyn_objs)}
         B = len(flat_T)
         Bp = max(1 << int(np.ceil(np.log2(max(B, 1)))), 256)
         own_p = np.zeros(Bp, np.int32)

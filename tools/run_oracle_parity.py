@@ -65,7 +65,13 @@ def main() -> int:
     ap.add_argument("--room", type=float, default=4.0)
     ap.add_argument("--root", default="/tmp/rescan_oracle_parity")
     ap.add_argument("--out", default="PARITY.json")
+    ap.add_argument("--scene", choices=["clean", "noisy"], default="clean",
+                    help="noisy: rotated room, cylinder + concave shapes, "
+                         "sensor noise, normal jitter, per-scan sector "
+                         "occlusion (VERDICT r4 item 5)")
     args = ap.parse_args()
+    if args.scene == "noisy" and args.root == "/tmp/rescan_oracle_parity":
+        args.root = "/tmp/rescan_oracle_parity_noisy"
 
     if not os.path.exists(os.path.join(REF_BIN, "pose_proposal")):
         print("reference oracle not built — run "
@@ -78,22 +84,33 @@ def main() -> int:
 
     root = args.root
     os.makedirs(root, exist_ok=True)
-    spec = synthetic.SceneSpec(
-        room_size=(args.room, args.room), wall_height=2.5, objects=[
-            ("chair", (1.0, 1.0), (0.5, 0.9, 0.5), 0.0),
-            ("chair", (3.0, 1.2), (0.5, 0.9, 0.5), 0.6),
-            ("table", (2.0, 2.0), (1.2, 0.75, 0.8), 0.0),
-            ("sofa", (1.0, 3.2), (1.6, 0.8, 0.7), 0.0),
-            ("desk", (3.2, 3.0), (1.0, 0.75, 0.6), 1.2)])
+    noise_kw0, noise_kw1 = {}, {}
+    if args.scene == "noisy":
+        spec = synthetic.noisy_scene_spec(room=args.room)
+        # partial views: each scan misses a different wedge of the room
+        # (both wedges kept clear of the movable objects)
+        noise_kw0 = dict(noise_sigma=0.003, normal_jitter_deg=6.0,
+                         occlusion=(np.deg2rad(160.0), np.deg2rad(40.0)))
+        noise_kw1 = dict(noise_sigma=0.003, normal_jitter_deg=6.0,
+                         occlusion=(np.deg2rad(-115.0), np.deg2rad(40.0)))
+    else:
+        spec = synthetic.SceneSpec(
+            room_size=(args.room, args.room), wall_height=2.5, objects=[
+                ("chair", (1.0, 1.0), (0.5, 0.9, 0.5), 0.0),
+                ("chair", (3.0, 1.2), (0.5, 0.9, 0.5), 0.6),
+                ("table", (2.0, 2.0), (1.2, 0.75, 0.8), 0.0),
+                ("sofa", (1.0, 3.2), (1.6, 0.8, 0.7), 0.0),
+                ("desk", (3.2, 3.0), (1.0, 0.75, 0.6), 1.2)])
     moved = synthetic.moved_scene_spec(spec, (0.5, 0.3), which=0)
     moved = synthetic.moved_scene_spec(moved, (-0.4, 0.5), which=3)
     cls = os.path.join(root, "nyu40_classes.txt")
     scan0 = os.path.join(root, "scan_000.ply")
     scan1 = os.path.join(root, "scan_001.ply")
     if not os.path.exists(scan1):
-        synthetic.save_scene_ply(scan0, spec, resolution=args.resolution)
+        synthetic.save_scene_ply(scan0, spec, resolution=args.resolution,
+                                 **noise_kw0)
         synthetic.save_scene_ply(scan1, moved, resolution=args.resolution,
-                                 seed=1)
+                                 seed=1, **noise_kw1)
         synthetic.write_class_file(cls)
 
     cwd = os.getcwd()
@@ -124,7 +141,8 @@ def main() -> int:
         os.chdir(cwd)
 
     assert len(p_ours) == len(p_ref), "object count mismatch"
-    report = {"resolution": args.resolution, "objects": []}
+    report = {"resolution": args.resolution, "scene": args.scene,
+              "objects": []}
     for i in range(len(p_ours)):
         matches, un_ref, un_ours = match_sets(p_ours[i], s_ours[i],
                                               p_ref[i], s_ref[i])
