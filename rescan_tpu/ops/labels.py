@@ -23,6 +23,8 @@ This substitution is the designated algorithm change of the rebuild
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -118,6 +120,8 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
     max_cand = max((len(c) for _, _, c, _, _ in plans), default=0)
     mp = max(1 << int(np.ceil(np.log2(max(max_cand, 1)))), 256)
 
+    profile = os.environ.get("RESCAN_LABEL_PROFILE") == "1"
+
     def submit(start: int, end: int):
         """Dispatch every placement's gated-NN launch without fetching —
         JAX async dispatch overlaps the device work across placements; the
@@ -129,6 +133,7 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             if m == 0:
                 continue
             p = sorted_arr[i]
+            t0 = time.perf_counter() if profile else 0.0
             # far-sentinel padding: whole padding blocks cost only the
             # kernel prologue
             qp = np.full((mp, 3), 1e6, np.float32)
@@ -142,12 +147,19 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
                 obj_index(p.object_idx), jnp.asarray(qp),
                 jnp.asarray(qnp), r, -1.0, use_abs_dot=True,
                 bq=_pn.block_for_index(obj_index(p.object_idx), mp))
+            if profile:
+                print(f"LABEL_PROFILE: submit plc={i} obj={p.object_idx} "
+                      f"m={m} mp={mp} dispatch={time.perf_counter()-t0:.3f}s")
             pend.append((i, cand, m, idx, d2, dot))
         return pend
 
     def merge(pend):
         for i, cand, m, idx, d2, dot in pend:
+            t0 = time.perf_counter() if profile else 0.0
             idx = np.asarray(idx)[:m]
+            if profile:
+                print(f"LABEL_PROFILE: fetch plc={i} m={m} "
+                      f"wait={time.perf_counter()-t0:.3f}s")
             nd2 = np.asarray(d2)[:m]
             dot = np.asarray(dot)[:m]
             hit = idx >= 0

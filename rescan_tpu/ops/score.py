@@ -35,6 +35,7 @@ boundaries; parity is gated on pipeline metrics (mAP), not on score bits.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -170,6 +171,13 @@ def _score_multi_impl(grid, pts_all: jax.Array, nrm_all: jax.Array,
 _score_multi = jax.jit(_score_multi_impl)
 
 
+# RESCAN_PRUNE_STATS=1: every ScoreStream request is also recorded here as
+# (grid, padded_pts, mask, hyps) for offline prune-efficiency analysis
+# (tools/roofline_note.py) — the per-block near-tile ranges the Pallas
+# kernel will compute are host-reproducible from exactly these inputs.
+PRUNE_STATS: List[tuple] = []
+
+
 class ScoreStream:
     """Asynchronous scoring of (object points, hypotheses) requests.
 
@@ -295,6 +303,8 @@ class ScoreStream:
         g["n_rows"] += 1
         g["pts_j"] = None   # table changed; re-ship on next launch
         h = np.asarray(hyps, np.float32).reshape(-1, 4, 4)
+        if os.environ.get("RESCAN_PRUNE_STATS") == "1":
+            PRUNE_STATS.append((self.grid, pts, mask, h))
         g["hyps"].append(h)
         g["owners"].append(np.full(len(h), slot, np.int32))
         g["req"].append((self._n_req, len(h)))
