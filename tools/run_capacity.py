@@ -28,9 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def build_specs():
+def build_specs(control: bool = False):
     """Identical construction to the slow test (seed 7, 2 rooms, 21 objects,
-    3 objects moved per timestep)."""
+    3 objects moved per timestep). ``control=True`` (VERDICT r3 item 6)
+    replaces the random near-twin dimensions with strongly stepped, pairwise
+    distinct (footprint, height) per object — geometrically distinguishable
+    instances, so any remaining per-scan decline cannot be twin exchange."""
     from rescan_tpu.utils import synthetic
 
     rng = np.random.default_rng(7)
@@ -41,9 +44,17 @@ def build_specs():
         x = 0.25 + rng.random() * 1.1 + room * 1.65
         z = 0.25 + rng.random() * 1.1
         s = 0.16 + rng.random() * 0.1
-        objs.append((classes[k % len(classes)], (x, z),
-                     (s, 0.25 + rng.random() * 0.2, s),
-                     float(rng.random() * 1.5)))
+        h = 0.25 + rng.random() * 0.2
+        rot = float(rng.random() * 1.5)
+        if control:
+            # stepped distinct dims: 14..33 cm footprint, alternating
+            # aspect; heights stepped 22..41 cm
+            s = 0.14 + 0.01 * k
+            h = 0.22 + 0.01 * ((7 * k) % 20)
+            objs.append((classes[k % len(classes)], (x, z),
+                         (s, h, s * (1.25 if k % 2 else 0.8)), rot))
+        else:
+            objs.append((classes[k % len(classes)], (x, z), (s, h, s), rot))
     spec = synthetic.SceneSpec(room_size=(3.3, 1.6), wall_height=0.9,
                                objects=objs)
     specs = [spec]
@@ -58,12 +69,60 @@ def build_specs():
     return specs
 
 
+def equivalence_groups(spec, tol: float = 0.07):
+    """GT instance-id groups that are geometrically interchangeable: same
+    class, every dimension within ``tol`` relative. Returns lists of GT
+    instance ids (3 + k, the synthetic generator's convention)."""
+    from rescan_tpu.utils.synthetic import _obj_fields
+
+    items = []
+    for k, obj in enumerate(spec.objects):
+        cls, _, size, _, shape = _obj_fields(obj)
+        if cls == "wall":
+            continue
+        items.append((3 + k, cls, np.asarray(size, np.float64), shape))
+    groups = []
+    used = set()
+    for i, (iid, cls, size, shape) in enumerate(items):
+        if iid in used:
+            continue
+        grp = [iid]
+        for jid, cls2, size2, shape2 in items[i + 1:]:
+            if jid in used or cls2 != cls or shape2 != shape:
+                continue
+            if np.all(np.abs(size2 - size) <= tol * np.maximum(size, size2)):
+                grp.append(jid)
+        for g in grp:
+            used.add(g)
+        groups.append(grp)
+    return [g for g in groups if len(g) > 1]
+
+
+def write_eq_files(groups, eq_dir: str, scan_names) -> None:
+    """Reference-format id-equivalence files (evaluate_instance_transfer.py
+    :69-80: '<base> | <eq...>' lines, ids 0-based wrt the +1 matrix
+    encoding, i.e. the raw GT instance ids)."""
+    os.makedirs(eq_dir, exist_ok=True)
+    lines = []
+    for grp in groups:
+        for base in grp:
+            lines.append(f"{base} | " + " ".join(str(g) for g in grp) + "\n")
+    for name in scan_names:
+        with open(os.path.join(eq_dir, name), "w") as f:
+            f.writelines(lines)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/rescan_capacity")
     ap.add_argument("--out", default="CAPACITY_r03.json")
     ap.add_argument("--resolution", type=int, default=5)
+    ap.add_argument("--control", action="store_true",
+                    help="geometrically distinguishable instances "
+                         "(VERDICT r3 item 6 non-degenerate control)")
     args = ap.parse_args()
+    if args.control and args.root == "/tmp/rescan_capacity":
+        args.root = "/tmp/rescan_capacity_control"
 
     from rescan_tpu.utils import synthetic
     from rescan_tpu.pipeline import driver
@@ -73,7 +132,7 @@ def main() -> int:
     root = args.root
     gt = os.path.join(root, "roomX", "gt_segmentation")
     os.makedirs(gt, exist_ok=True)
-    specs = build_specs()
+    specs = build_specs(control=args.control)
     if not os.path.exists(os.path.join(gt, "scan_004.ply")):
         for i, sp in enumerate(specs):
             synthetic.save_scene_ply(os.path.join(gt, f"scan_{i:03d}.ply"),
@@ -117,6 +176,48 @@ def main() -> int:
     it_miou = [float(instance_transfer.evaluate_scan(
         f, f.replace("predictions", "gt_segmentation"))) for f in it]
 
+    # id-equivalence-CORRECTED per-scan IT mIoU (VERDICT r3 item 6): GT
+    # instances that are geometrically interchangeable (same class, dims
+    # within 7%) may legitimately swap identities; the reference's own
+    # reorder_confusion protocol applies the correction
+    groups = equivalence_groups(specs[0])
+    eq_dir = os.path.join(ev, "instance_transfer", "id_equivalences")
+    write_eq_files(groups, eq_dir, [os.path.basename(f) for f in it])
+    it_miou_eq = [float(instance_transfer.evaluate_scan(
+        f, f.replace("predictions", "gt_segmentation"),
+        os.path.join(eq_dir, os.path.basename(f)))) for f in it]
+
+    # per-timestep placement traces + database-drift trace (model cloud
+    # growth and label purity per object per timestep) from the saved
+    # per-timestep databases
+    placement_trace = []
+    drift_trace = []
+    os.chdir(root)
+    try:
+        for t, dbp in enumerate(produced):
+            dbt = database.load_database(dbp, load_pointclouds=True)
+            placement_trace.append([
+                {"uidx": p.uidx, "object_idx": p.object_idx,
+                 "class": dbt.class_name(
+                     dbt.objects[p.object_idx].class_idx),
+                 "pos": [round(float(x), 4) for x in p.pose[:3, 3]],
+                 "score": round(float(p.score), 4)}
+                for p in dbt.arrangements[-1]])
+            row = []
+            for oi, o in enumerate(dbt.objects):
+                if dbt.is_object_static(oi) or o.cloud is None:
+                    continue
+                cls_ids = o.cloud.levels[0]["class_ids"]
+                own = int((cls_ids == o.class_idx).sum())
+                row.append({"uidx": o.uidx,
+                            "class": dbt.class_name(o.class_idx),
+                            "n_pts": int(len(cls_ids)),
+                            "label_purity": round(own / max(len(cls_ids), 1),
+                                                  4)})
+            drift_trace.append(row)
+    finally:
+        os.chdir(cwd)
+
     out = {
         "scene": "two rooms (wall divider), 21 objects (20 dynamic), "
                  "5 timesteps, 3 objects moved per step, "
@@ -125,10 +226,18 @@ def main() -> int:
         "wall_s_total": round(wall, 1),
         "n_db_objects_final": n_objects,
         "n_dynamic_placed_final": n_dyn,
+        "control": args.control,
         "semantic_label_mIoU": round(miou, 4),
         "instance_transfer_mIoU_per_scan": [round(x, 4) for x in it_miou],
         "instance_transfer_mIoU": round(float(np.mean(it_miou)), 4)
         if it_miou else None,
+        "id_equivalence_groups": groups,
+        "instance_transfer_mIoU_per_scan_eq_corrected":
+            [round(x, 4) for x in it_miou_eq],
+        "instance_transfer_mIoU_eq_corrected":
+            round(float(np.mean(it_miou_eq)), 4) if it_miou_eq else None,
+        "placement_trace": placement_trace,
+        "database_drift_trace": drift_trace,
         "stage_profile": [
             {"timestep": pr["timestep"],
              "pose_proposal": {k: round(v, 2)
