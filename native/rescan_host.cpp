@@ -24,6 +24,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <functional>
 #include <unordered_map>
@@ -1257,6 +1259,25 @@ int64_t rescan_sa_run(
     }
 
     double cur_score = st.score();
+    if (std::getenv("RESCAN_SA_DEBUG")) {
+      std::printf("NADBG %d cur=%.17g hyst=%.17g n=%zd", it, cur_score,
+                  st.hysteresis(), st.items.size());
+      for (const auto& p : st.items)
+        std::printf(" [u%lld o%lld r%lld f=%.17g e%d m%d]",
+                    (long long)p.uidx, (long long)p.objidx,
+                    (long long)p.ref, p.f_best, p.f_existed, p.f_mismatched);
+      std::printf(" past=");
+      for (int32_t a = 0; a < t.n_past_arr; ++a) {
+        for (int64_t j = t.past_off[a]; j < t.past_off[a + 1]; ++j)
+          std::printf("%s%lld", j == t.past_off[a] ? "" : ",",
+                      (long long)t.past_uidx[j]);
+        std::printf(";");
+      }
+      for (size_t j = 0; j < st.committed.size(); ++j)
+        std::printf("%s%lld", j ? "," : "",
+                    (long long)st.committed[j].uidx);
+      std::printf("\n");
+    }
     if (cur_score < 0.0) {
       st.committed = st.items;
       // Python writes no trace line for this iteration (break before write)

@@ -30,6 +30,7 @@ PRNG replica). uidx linearization after every step (:434-465).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -406,9 +407,13 @@ class FastEnergy:
                 existed = True
                 decay = config.HYSTER_DECAY_A * past_idx + config.HYSTER_DECAY_B
                 d2 = ((pos[None, :] - pp[match]) ** 2).sum(axis=1)
-                s = (np.exp(-d2.astype(np.float64) / (2 * sigma * sigma))
-                     * config.HYSTER_BASE_SCALE * decay)
-                m = float(s.max())
+                # math.exp (libm), NOT np.exp: numpy's vectorized exp can
+                # differ from libm by 1 ulp, which the SA accept
+                # probability amplifies into the 9th digit — the native
+                # engine (std::exp) must stay trace-exact with this loop
+                m = max(math.exp(-float(v) / (2 * sigma * sigma))
+                        * config.HYSTER_BASE_SCALE * decay
+                        for v in d2.astype(np.float64))
                 if m > best:
                     best = m
         out = (best, existed, mismatched)
@@ -1074,13 +1079,23 @@ def simulated_annealing(ctx: EnergyContext, db: Rsdb, scene_idx: int,
             undo = _apply_move(rand, state, poses, pscores)
 
         cur_score = state.score()
+        if _os.environ.get("RESCAN_SA_DEBUG"):
+            print(f"PYDBG {it} cur={cur_score!r} "
+                  f"hyst={state._hysteresis()!r} n={len(state.items)}",
+                  " ".join(f"[u{p.uidx} o{p.object_idx} k{p.pose_idx} "
+                           f"f={state._f[j][0]!r} e{int(state._f[j][1])} "
+                           f"m{int(state._f[j][2])}]"
+                           for j, p in enumerate(state.items)),
+                  "past=" + ";".join(
+                      ",".join(str(q.uidx) for q in arr)
+                      for arr in db.arrangements))
         if cur_score < 0:
             commit()
             break
         temp = max(config.SA_INIT_TEMP * (1.0 - it / opts.n_sa_iter),
                    config.SA_MIN_TEMP)
         accept_p = (1.0 if cur_score > prev_score
-                    else np.exp(-(prev_score - cur_score) / temp))
+                    else math.exp(-(prev_score - cur_score) / temp))
         roll = rand.next_f32()
         accepted = accept_p >= roll
         if trace_fp is not None:

@@ -158,3 +158,30 @@ def test_native_sa_follow_mode(rich_db, monkeypatch):
         _assert_same_arrangement(arr_py, arr_na)
     finally:
         _restore(db, snap)
+
+
+def test_native_sa_linearize_ids_agreement(rich_db, monkeypatch):
+    """_linearize_ids fires when a past uidx sits >1 above the second
+    largest; both engines must mutate the SAME past placements and stay
+    trace-identical (the 4000-iter test never triggers this path)."""
+    db, ctx, poses, scores = rich_db
+    snap = _snapshot(db)
+    opts = config.ArrangementOpts(n_sa_iter=1500)
+    try:
+        # a lone high uidx in the most recent past arrangement -> gap 45
+        db.arrangements[1][0].uidx = 50
+        mid = _snapshot(db)
+        tr_py, arr_py, past_py = _run(db, ctx, opts, "python", monkeypatch)
+        assert any(u not in (50,) and u > 4
+                   for arr in past_py for u, _ in arr) or \
+            past_py != [[(p.uidx, p.object_idx) for p in a]
+                        for a in mid[:2]], "linearize never mutated the past"
+        _restore(db, mid)
+        tr_na, arr_na, past_na = _run(db, ctx, opts, "native", monkeypatch)
+        assert tr_py == tr_na
+        _assert_same_arrangement(arr_py, arr_na)
+        assert past_py == past_na
+        # the gap must actually have been closed by both engines
+        assert all(u != 50 for arr in past_na for u, _ in arr)
+    finally:
+        _restore(db, snap)

@@ -37,14 +37,12 @@ BQ = 128  # block_for_scoring: every scoring launch uses 128-wide blocks
 LANE_OPS = 19
 
 
-def analyze_entry(grid, pts, mask, hyps, scene_grid_host, sample_blocks,
+def analyze_entry(slabs, pts, mask, hyps, scene_grid_host, sample_blocks,
                   rng):
     """Host replication of the kernel's per-block pruning for one request.
     Returns per-block arrays (near, span) + sampled true-neighbor counts."""
-    slabs = getattr(grid, "slabs", None) or [grid]
     # tile bounds of every part: (n_tiles, 8) xmin ymin zmin _ xmax ymax zmax
     bounds = [np.asarray(s.tile_bounds) for s in slabs]
-    radius = None  # bbox test uses the launch radius; caller passes via env
     P = len(pts)
     n_blocks = P // BQ
     H = len(hyps)
@@ -109,10 +107,29 @@ def main() -> int:
 
     # scene level-1 host grid for ground-truth neighbor counts
     from rescan_tpu.core.pointcloud import PointCloud
+    from rescan_tpu.ops import pallas_nn
     scn = PointCloud.from_ply(os.path.join(bench.BENCH_DIR, "scan_001.ply"))
     slvl = config.SCORE_SEARCH_LVL
     host_grid = native.HostGrid(scn.pos(slvl), config.SCORE_SEARCH_RADII[slvl])
     analyze_entry.radius = float(config.SCORE_SEARCH_RADII[slvl])
+
+    # on the CPU backend the pipeline's index is a HashGrid; the pruning
+    # analysis is host math over the TPU kernel's tile bounds, so rebuild
+    # the SortedSlab the TPU path would have used (same points, same
+    # Morton tiling) and analyze against it
+    fallback_slab = None
+
+    def slabs_of(grid):
+        nonlocal fallback_slab
+        parts = getattr(grid, "slabs", None)
+        if parts:
+            return parts
+        if isinstance(grid, pallas_nn.SortedSlab):
+            return [grid]
+        if fallback_slab is None:
+            fallback_slab = pallas_nn.build_sorted_slab(
+                scn.pos(slvl), scn.nrm(slvl))
+        return [fallback_slab]
 
     rng = np.random.default_rng(0)
     tot_near = tot_span = tot_blocks = tot_q = 0
@@ -120,9 +137,9 @@ def main() -> int:
     true_counts = []
     tile = None
     for grid, pts, mask, hyps in score.PRUNE_STATS:
-        slabs = getattr(grid, "slabs", None) or [grid]
+        slabs = slabs_of(grid)
         tile = slabs[0].tile
-        near, span, tc = analyze_entry(grid, pts, mask, hyps, host_grid,
+        near, span, tc = analyze_entry(slabs, pts, mask, hyps, host_grid,
                                        args.sample_blocks, rng)
         tot_near += int(near.sum())
         tot_span += int(span.sum())
@@ -178,8 +195,8 @@ def main() -> int:
                                    analyze_entry.radius)
             np.asarray(s)
             times.append(time.perf_counter() - t0)
-        near, span, _ = analyze_entry(grid, pts, mask, hyps[:h], None, 0,
-                                      rng)
+        near, span, _ = analyze_entry(slabs_of(grid), pts, mask, hyps[:h],
+                                      None, 0, rng)
         launch_s = min(times)
         computed = int(near.sum())
         skipped = int((span - near).sum())

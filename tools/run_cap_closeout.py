@@ -102,6 +102,49 @@ def main() -> int:
     report["outcome_equivalent"] = (report["uidx_set_match"] and obj_match
                                     and max_dt < 0.02 and max_ang < 2.0)
 
+    # Symmetry-aware geometric equivalence: an angle delta on a
+    # rotationally/flip-symmetric object (cylinder: any y-rotation; box:
+    # 180-degree flips) places the IDENTICAL surface. Judge each matched
+    # pair by the symmetric chamfer distance between the object's cloud
+    # under the two poses — pose-space deltas that move no point are not
+    # outcome differences.
+    from rescan_tpu.core import database as _dbmod
+    from rescan_tpu.core import native as _native
+    cwd = os.getcwd()
+    os.chdir(args.root)
+    try:
+        db_full = _dbmod.load_database("ours_pp.rsdb", load_pointclouds=True)
+    finally:
+        os.chdir(cwd)
+    geom_ok = True
+    for row in report["placements"]:
+        if "only_in" in row or not row["object_match"]:
+            geom_ok = False
+            continue
+        if row["pose_dt_m"] < 0.02 and row["pose_dang_deg"] < 2.0:
+            row["chamfer_m"] = 0.0 if row["pose_dang_deg"] == 0.0 else None
+            continue
+        a = by_uidx_ref[row["uidx"]]
+        b = by_uidx_ours[row["uidx"]]
+        Ta = np.array(a["pose"], np.float64).reshape(4, 4, order="F")
+        Tb = np.array(b["pose"], np.float64).reshape(4, 4, order="F")
+        pts = db_full.objects[b["obj"]].cloud.pos(2).astype(np.float64)
+        pa = (pts @ Ta[:3, :3].T + Ta[:3, 3]).astype(np.float32)
+        pb = (pts @ Tb[:3, :3].T + Tb[:3, 3]).astype(np.float32)
+        g = _native.HostGrid(pb, 0.05)
+        _, d2, cnt = g.radius_search(pa, 0.05, 1)
+        miss = (cnt == 0).mean()
+        cham = float(np.sqrt(d2[cnt > 0, 0]).mean()) if (cnt > 0).any() \
+            else float("inf")
+        row["chamfer_m"] = round(cham, 5)
+        row["chamfer_unmatched_frac"] = round(float(miss), 4)
+        # equivalent when every point lands within the level-2 spacing
+        if miss > 0.01 or cham > 0.02:
+            geom_ok = False
+    report["outcome_equivalent_geom"] = (report["uidx_set_match"]
+                                         and obj_match and max_dt < 0.02
+                                         and geom_ok)
+
     # Twin-exchange equivalence: geometrically identical same-class objects
     # make the arrangement energy bimodal, and the annealer's mode choice
     # flips on infinitesimal proposal differences (the identity-swap

@@ -24,11 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def build_sequence(root: str, small: bool, n_scans: int = 3) -> None:
+def build_sequence(root: str, small: bool, n_scans: int = 3,
+                   noisy: bool = False) -> None:
     from rescan_tpu.utils import synthetic
 
     gt = os.path.join(root, "roomA", "gt_segmentation")
     os.makedirs(gt, exist_ok=True)
+    if noisy:
+        # the non-ideal stress scene (VERDICT r4 item 5): rotated room,
+        # cylinder + concave shapes, sensor noise, jittered normals, and a
+        # per-scan occlusion wedge that sweeps around the room
+        spec0 = synthetic.noisy_scene_spec(room=4.0)
+        res = 16
+        moves = [((0.5, 0.3), 0), ((-0.4, 0.5), 3),
+                 ((0.3, -0.4), 4), ((-0.5, -0.2), 0)]
+        specs = [spec0]
+        while len(specs) < n_scans:
+            mv, which = moves[(len(specs) - 1) % len(moves)]
+            specs.append(synthetic.moved_scene_spec(specs[-1], mv,
+                                                    which=which))
+        for i, spec in enumerate(specs):
+            synthetic.save_scene_ply(
+                os.path.join(gt, f"scan_{i:03d}.ply"), spec, resolution=res,
+                seed=i, noise_sigma=0.003, normal_jitter_deg=6.0,
+                occlusion=(np.deg2rad(160.0 + 85.0 * i), np.deg2rad(40.0)))
+        synthetic.write_class_file(os.path.join(root, "nyu40_classes.txt"))
+        return
     if small:
         spec0 = synthetic.SceneSpec(
             room_size=(1.6, 1.6), wall_height=0.9, objects=[
@@ -62,6 +83,9 @@ def build_sequence(root: str, small: bool, n_scans: int = 3) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--noisy", action="store_true",
+                    help="non-ideal bench-scale scene (noise, occlusion, "
+                         "rotation, curved/concave shapes)")
     ap.add_argument("--root", default=None)
     ap.add_argument("--out", default="RESULTS.json")
     ap.add_argument("--n_scans", type=int, default=3)
@@ -71,11 +95,13 @@ def main() -> int:
                                  semantic_label)
     from rescan_tpu.pipeline import driver
 
-    root = args.root or ("/tmp/rescan_eval_parity_small" if args.small
-                         else "/tmp/rescan_eval_parity")
+    root = args.root or (
+        "/tmp/rescan_eval_parity_small" if args.small
+        else "/tmp/rescan_eval_parity_noisy" if args.noisy
+        else "/tmp/rescan_eval_parity")
     os.makedirs(root, exist_ok=True)
     if not os.path.exists(os.path.join(root, "nyu40_classes.txt")):
-        build_sequence(root, args.small, args.n_scans)
+        build_sequence(root, args.small, args.n_scans, noisy=args.noisy)
 
     cwd = os.getcwd()
     os.chdir(root)
@@ -114,7 +140,8 @@ def main() -> int:
     res = semantic_instance.evaluate(si_pred, si_gt)
 
     out = {
-        "config": "small" if args.small else "bench-scale",
+        "config": ("small" if args.small
+                   else "noisy" if args.noisy else "bench-scale"),
         "n_scans": args.n_scans,
         "pipeline_wall_s": round(pipeline_s, 1),
         "semantic_label_mIoU": round(sem_miou, 4),
