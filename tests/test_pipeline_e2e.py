@@ -151,6 +151,10 @@ def test_eval_semantic_instance_rejects_escaping_mask_paths(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("RESCAN_RUN_CAPACITY") != "1",
+                    reason="21-object grid searches take HOURS on the CPU "
+                           "mesh; run deliberately with RESCAN_RUN_CAPACITY=1"
+                           " or use tools/run_capacity.py on the TPU host")
 def test_capacity_multiroom_sequence(tmp_path):
     """VERDICT r2 item 6 (e2e half): a two-room scene (wall divider) with
     20 dynamic objects over 5 timesteps — object counts far past anything
