@@ -107,14 +107,15 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     grid = search.build_index(scene.pos(lvl), config.SCENE_REFINE_ICP_MAX_DIST,
                               normals=scene.nrm(lvl), tile=1024)
     # indexed batch (see pose_proposal's refinement): unique object tables
-    # ship once, pairs gather their rows on device. n_min/Bp floor chosen
-    # to MATCH pose_proposal's ICP refinement batch shapes, so this stage
-    # reuses its compiled program (invalid pair rows start inactive).
-    uniq = sorted({arr[i].object_idx for i in idxs})
+    # ship once, pairs gather their rows on device. The table covers ALL
+    # dynamic objects (not just placed ones) with the same n_min floor as
+    # pose_proposal's refinement, so BOTH stages run one timestep-stable
+    # compiled program (invalid pair rows start inactive; unused rows are
+    # never gathered).
+    uniq = [i for i in range(len(db.objects)) if not db.is_object_static(i)]
     row_of = {o: r for r, o in enumerate(uniq)}
-    n_min = max((len(db.objects[i].cloud.pos(lvl))
-                 for i in range(len(db.objects))
-                 if not db.is_object_static(i)), default=1)
+    n_min = max((len(db.objects[i].cloud.pos(lvl)) for i in uniq),
+                default=1)
     upts, unrm, umask = icp.prep_unique_batch(
         [db.objects[o].cloud.pos(lvl) for o in uniq],
         [db.objects[o].cloud.nrm(lvl) for o in uniq], n_min=n_min)
