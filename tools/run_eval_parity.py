@@ -25,7 +25,7 @@ import numpy as np  # noqa: E402
 
 
 def build_sequence(root: str, small: bool, n_scans: int = 3,
-                   noisy: bool = False) -> None:
+                   noisy: bool = False, resolution: int = 0) -> None:
     from rescan_tpu.utils import synthetic
 
     gt = os.path.join(root, "roomA", "gt_segmentation")
@@ -35,7 +35,7 @@ def build_sequence(root: str, small: bool, n_scans: int = 3,
         # cylinder + concave shapes, sensor noise, jittered normals, and a
         # per-scan occlusion wedge that sweeps around the room
         spec0 = synthetic.noisy_scene_spec(room=4.0)
-        res = 16
+        res = resolution or 16
         moves = [((0.5, 0.3), 0), ((-0.4, 0.5), 3),
                  ((0.3, -0.4), 4), ((-0.5, -0.2), 0)]
         specs = [spec0]
@@ -89,6 +89,9 @@ def main() -> int:
     ap.add_argument("--root", default=None)
     ap.add_argument("--out", default="RESULTS.json")
     ap.add_argument("--n_scans", type=int, default=3)
+    ap.add_argument("--resolution", type=int, default=0,
+                    help="override scene sampling resolution (noisy mode; "
+                         "0 = the bench-scale 16)")
     args = ap.parse_args()
 
     from rescan_tpu.eval import (instance_transfer, semantic_instance,
@@ -101,7 +104,8 @@ def main() -> int:
         else "/tmp/rescan_eval_parity")
     os.makedirs(root, exist_ok=True)
     if not os.path.exists(os.path.join(root, "nyu40_classes.txt")):
-        build_sequence(root, args.small, args.n_scans, noisy=args.noisy)
+        build_sequence(root, args.small, args.n_scans, noisy=args.noisy,
+                       resolution=args.resolution)
 
     cwd = os.getcwd()
     os.chdir(root)
