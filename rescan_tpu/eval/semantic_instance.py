@@ -206,7 +206,11 @@ def evaluate(pred_files: List[str], gt_files: List[str]) -> dict:
     not25 = ~np.isclose(OVERLAPS, 0.25)
     o50 = np.isclose(OVERLAPS, 0.5)
     o25 = np.isclose(OVERLAPS, 0.25)
-    with np.errstate(invalid="ignore"):
+    import warnings
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # classes absent from GT are all-nan rows: nanmean's "Mean of
+        # empty slice" warning is the expected nan result, not a problem
+        warnings.simplefilter("ignore", RuntimeWarning)
         result = {
             "all_ap": float(np.nanmean(ap[:, not25])),
             "all_ap_50%": float(np.nanmean(ap[:, o50])),
