@@ -213,7 +213,27 @@ def _alarm_handler(signum, frame):
     raise BenchTimeout(f"hard wall-clock timeout ({HARD_TIMEOUT_S}s)")
 
 
+def _start_watchdog():
+    """Backstop for hangs SIGALRM can't interrupt: the alarm only raises
+    while the main thread executes Python bytecode, so a tunnel drop
+    mid-run that parks the process inside an uninterruptible C call (the
+    axon retry loop) would never emit the JSON line.  A daemon thread
+    waits HARD_TIMEOUT_S + grace, then emits the timeout line and
+    os._exit()s — it needs no cooperation from the stuck main thread."""
+    import threading
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(HARD_TIMEOUT_S + 60):
+            emit(None, None, error="timeout_watchdog")
+            os._exit(1)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
+
+
 def main():
+    watchdog_done = _start_watchdog() if HARD_TIMEOUT_S > 0 else None
     if hasattr(signal, "SIGALRM") and HARD_TIMEOUT_S > 0:
         signal.signal(signal.SIGALRM, _alarm_handler)
         signal.alarm(HARD_TIMEOUT_S)
@@ -237,6 +257,8 @@ def main():
         print(f"BENCH: failed: {type(e).__name__}: {e}")
         emit(None, None, error=f"{type(e).__name__}: {e}"[:300])
     finally:
+        if watchdog_done is not None:
+            watchdog_done.set()
         if hasattr(signal, "SIGALRM"):
             signal.alarm(0)
 

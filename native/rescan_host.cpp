@@ -1178,7 +1178,12 @@ int64_t rescan_sa_run(
             const float dy = tr[1] - old_pos[1];
             const float dz = tr[2] - old_pos[2];
             float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
-            match[k] = (double)dist < cfg.replace_thr ? 1 : 0;
+            // Compare in float32: the Python loop (NumPy 2/NEP-50 weak
+            // scalar) and the reference (msh_vec3_norm(..) < 0.35f,
+            // arrangement_optimization.cpp:753) both compare f32 < f32.
+            // 0.35 is not f32-representable — a double compare admits
+            // dist == f32(0.35) = 0.349999994 that both others reject.
+            match[k] = dist < (float)cfg.replace_thr ? 1 : 0;
             n_match += match[k];
           }
           if ((int64_t)cand_ref.size() + n_match < 1024) {

@@ -46,16 +46,38 @@ class _LazyLevels(list):
 
     future = None
 
-    def __getitem__(self, i):
-        if self.future is not None and list.__getitem__(self, i) is None:
-            f, self.future = self.future, None
-            f.result()
-        return list.__getitem__(self, i)
+    def __init__(self, *args):
+        import threading
+        super().__init__(*args)
+        self._lock = threading.Lock()
 
     def join(self):
-        if self.future is not None:
+        # pose_proposal legitimately reads the cloud from a second thread
+        # (NMS || ICP-prep overlap): take-and-clear must be atomic so both
+        # threads wait on the same build instead of one seeing future=None
+        # while the tail entries are still None.
+        if self.future is None:
+            return
+        with self._lock:
             f, self.future = self.future, None
+        if f is not None:
             f.result()
+
+    def __getitem__(self, i):
+        if self.future is not None and (
+                not isinstance(i, int) or list.__getitem__(self, i) is None):
+            self.join()
+        return list.__getitem__(self, i)
+
+    def __iter__(self):
+        self.join()
+        return list.__iter__(self)
+
+    def __reduce__(self):
+        # deepcopy/pickle: materialize, then serialize as a plain list of
+        # levels (the Future is not picklable and must not escape).
+        self.join()
+        return (list, (list(self),))
 
 
 @dataclasses.dataclass

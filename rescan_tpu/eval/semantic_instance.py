@@ -210,7 +210,9 @@ def evaluate(pred_files: List[str], gt_files: List[str]) -> dict:
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
         # classes absent from GT are all-nan rows: nanmean's "Mean of
         # empty slice" warning is the expected nan result, not a problem
-        warnings.simplefilter("ignore", RuntimeWarning)
+        # (only that message — other RuntimeWarnings here would be bugs)
+        warnings.filterwarnings("ignore", message="Mean of empty slice",
+                                category=RuntimeWarning)
         result = {
             "all_ap": float(np.nanmean(ap[:, not25])),
             "all_ap_50%": float(np.nanmean(ap[:, o50])),

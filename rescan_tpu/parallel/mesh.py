@@ -29,11 +29,20 @@ from .. import config
 from ..ops import hashgrid, search
 
 
+def active_device_count() -> int:
+    """Devices the production stages should mesh over: all of them, unless
+    RESCAN_DEVICES=N caps the mesh to the first N (scaling studies —
+    tools/run_scaling.py — and single-device A/B runs)."""
+    import os
+    return (int(os.environ.get("RESCAN_DEVICES", "0") or 0)
+            or len(jax.devices()))
+
+
 def make_mesh(n_devices: Optional[int] = None,
               sp: int = 1) -> Mesh:
     """A (dp, sp) mesh over the first n_devices devices."""
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = n_devices or active_device_count()
     dp = n // sp
     arr = np.array(devs[:dp * sp]).reshape(dp, sp)
     return Mesh(arr, axis_names=("dp", "sp"))
@@ -43,7 +52,7 @@ def make_flat_mesh(n_devices: Optional[int] = None) -> Mesh:
     """A 1-D ("dp",) mesh over the first n_devices devices — the
     production stages' hypothesis/batch axis."""
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = n_devices or active_device_count()
     return Mesh(np.array(devs[:n]), axis_names=("dp",))
 
 
@@ -231,7 +240,7 @@ def refine_sp_factor(n_pairs: int, n_points: int,
     fill the mesh (few-pair x many-point launches — the scene-refine of a
     handful of placements); each sp shard must keep >= 512 points so the
     NN kernel's query blocks stay full."""
-    n_dev = n_devices or len(jax.devices())
+    n_dev = n_devices or active_device_count()
     pow2_pairs = 1 << max(int(np.ceil(np.log2(max(n_pairs, 1)))), 0)
     sp = max(1, n_dev // pow2_pairs)
     while sp > 1 and (n_points % sp != 0 or n_points // sp < 512):

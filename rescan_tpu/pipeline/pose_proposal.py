@@ -27,6 +27,7 @@ TPU-native restructuring of the reference's host loops:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -435,11 +436,13 @@ def run(rsdb_filename: str, scene_filename: str, output_filename: str,
 
     # multi-chip: shard every scoring launch's hypothesis axis and the ICP
     # refinement's batch axis over all devices (single-device path is the
-    # plain jit); the scene index is replicated
+    # plain jit); the scene index is replicated. RESCAN_DEVICES=N caps the
+    # mesh to the first N devices (scaling studies: tools/run_scaling.py).
     mesh = None
-    if len(jax.devices()) > 1:
-        from ..parallel import mesh as pmesh
-        mesh = pmesh.make_flat_mesh()
+    from ..parallel import mesh as pmesh
+    n_use = pmesh.active_device_count()
+    if n_use > 1:
+        mesh = pmesh.make_flat_mesh(n_use)
         if verbose:
             print(f"PARALLEL: sharding over {mesh.devices.size} devices")
 

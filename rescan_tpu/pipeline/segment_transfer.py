@@ -127,9 +127,8 @@ def refine_alignment_to_scene(db: rsdbio.Rsdb, scene_idx: int,
     val_p[:B] = True
     T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
     T0[:B] = np.stack([arr[i].pose for i in idxs]).astype(np.float32)
-    import jax
-    if len(jax.devices()) > 1:
-        from ..parallel import mesh as pmesh
+    from ..parallel import mesh as pmesh
+    if pmesh.active_device_count() > 1:
         # few placements x many points: when the pair axis alone cannot
         # fill the mesh, shard each pair's POINT axis over the idle chips
         # (psum-reduced ICP, ops/icp.py axis_name) instead of leaving

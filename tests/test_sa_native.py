@@ -133,6 +133,47 @@ def test_native_sa_trace_equals_python(rich_db, monkeypatch, init_mode):
         _restore(db, snap)
 
 
+def test_native_sa_replace_threshold_f32_boundary(rich_db, monkeypatch):
+    """REPLACE candidate gate at dist == f32(0.35) exactly.
+
+    0.35 is not float32-representable: the Python loop (NumPy weak-scalar)
+    and the reference (arrangement_optimization.cpp:753, `< 0.35f`) compare
+    in float32 and REJECT a candidate at f32(0.35) = 0.349999994; a native
+    engine comparing in double would ADMIT it, changing the candidate pdf
+    and the whole SA trajectory."""
+    db, ctx, poses, scores = rich_db
+    snap = _snapshot(db)
+    try:
+        # proposal at distance exactly f32(0.35) from the greedy-init pose
+        boundary = np.eye(4, dtype=np.float32)
+        boundary[0, 3] = np.float32(0.35)
+        d = np.sqrt(np.float32(0.35) * np.float32(0.35))
+        assert d == np.float32(0.35) and float(d) < 0.35  # the trap exists
+        poses2 = [np.concatenate([poses[0], boundary[None]]), *poses[1:]]
+        scores2 = [np.concatenate([scores[0],
+                                   np.array([0.95], np.float32)]),
+                   *scores[1:]]
+        db.proposed_poses[2] = poses2
+        db.proposed_scores[2] = scores2
+        ctx2 = energy.build_context(db, 2, poses2, scores2)
+        opts = config.ArrangementOpts(n_sa_iter=800)
+        init = [Placement(3, 2, 0, 0, poses2[0][0], float(scores2[0][0]))]
+        db.arrangements[2] = init
+        mid = _snapshot(db)
+
+        tr_py, arr_py, _ = _run(db, ctx2, opts, "python", monkeypatch)
+        _restore(db, mid)
+        tr_na, arr_na, _ = _run(db, ctx2, opts, "native", monkeypatch)
+        for i, (a, b) in enumerate(zip(tr_py.splitlines(),
+                                       tr_na.splitlines())):
+            assert a == b, f"trace diverges at iteration {i}:\n py: {a}\n na: {b}"
+        _assert_same_arrangement(arr_py, arr_na)
+    finally:
+        db.proposed_poses[2] = poses
+        db.proposed_scores[2] = scores
+        _restore(db, snap)
+
+
 def test_native_sa_follow_mode(rich_db, monkeypatch):
     """Follow mode forces accepts from a previous trace; both engines must
     follow identically (the arrangement-parity harness depends on it)."""
