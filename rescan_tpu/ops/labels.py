@@ -45,7 +45,8 @@ def _static_sort_key(db: Rsdb, p: Placement) -> int:
 
 def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
                           radius: float = config.LABEL_TRANSFER_RADIUS,
-                          prioritize_static: bool = False) -> None:
+                          prioritize_static: bool = False,
+                          mesh=None) -> None:
     """Write class/instance ids into scene level 1 from the arrangement.
 
     Device path: per placement, ONE gated-NN launch of the (bbox-filtered)
@@ -55,7 +56,13 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
     rs_pointcloud_filters.cpp:745-750). The launch returns the un-gated
     nearest neighbor plus its |normal dot|; the 70-degree gate is applied
     after, exactly like the reference (nearest-THEN-gate, :758-771 — NOT
-    nearest-gate-passing)."""
+    nearest-gate-passing).
+
+    ``mesh``: a jax.sharding.Mesh — each launch's QUERY axis shards over
+    every mesh device (parallel.mesh.nearest_gated_sharded); the object
+    index replicates. Labels are identical to the single-device path
+    (tests/test_parallel.py gates) — the per-query 1-NN has no cross-query
+    reduction, so sharding changes no arithmetic."""
     import jax.numpy as jnp
 
     lvl = config.LABEL_LVL
@@ -143,10 +150,16 @@ def arrangement_to_labels(db: Rsdb, scene, arrangement: Sequence[Placement],
             # cos_gate -1: every neighbor passes, so this is the plain
             # nearest-in-radius, with the selected neighbor's |dot|
             from . import pallas_nn as _pn
-            idx, d2, dot = search_ops.nearest_gated(
-                obj_index(p.object_idx), jnp.asarray(qp),
-                jnp.asarray(qnp), r, -1.0, use_abs_dot=True,
-                bq=_pn.block_for_index(obj_index(p.object_idx), mp))
+            idxo = obj_index(p.object_idx)
+            if mesh is not None and mp % mesh.devices.size == 0:
+                from ..parallel import mesh as _pm
+                idx, d2, dot = _pm.nearest_gated_sharded(
+                    mesh, idxo, qp, qnp, r, -1.0, use_abs_dot=True,
+                    bq=_pn.block_for_index(idxo, mp // mesh.devices.size))
+            else:
+                idx, d2, dot = search_ops.nearest_gated(
+                    idxo, jnp.asarray(qp), jnp.asarray(qnp), r, -1.0,
+                    use_abs_dot=True, bq=_pn.block_for_index(idxo, mp))
             if profile:
                 print(f"LABEL_PROFILE: submit plc={i} obj={p.object_idx} "
                       f"m={m} mp={mp} dispatch={time.perf_counter()-t0:.3f}s")

@@ -233,6 +233,44 @@ def icp_refine_indexed_sharded(mesh: Mesh, grid, uobj_pts, uobj_nrm,
     return np.asarray(T)[:B], np.asarray(err)[:B]
 
 
+_label_nn_cache: dict = {}
+
+
+def nearest_gated_sharded(mesh: Mesh, index, q_pos: np.ndarray,
+                          q_nrm: np.ndarray, radius: float, cos_gate: float,
+                          use_abs_dot: bool = False, bq: int = 256):
+    """search.nearest_gated with the QUERY axis sharded over every mesh
+    device — the label-transfer launch (rspf_arrangement_to_labels,
+    rs_pointcloud_filters.cpp:780-879, OpenMP-parallel over query batches
+    in the reference). The object index is replicated (small next to the
+    scene query batch); each query's gated 1-NN is independent, so the
+    launch needs NO collectives — outputs stay query-sharded until the
+    host fetch. len(q_pos) must be a multiple of the mesh size (the label
+    path's pow2 query bucket guarantees it for pow2 meshes).
+
+    radius/cos_gate ride as traced f32 scalars (SMEM inputs of the Pallas
+    kernel), so the two label radii (dynamic pass, 1.5x static pass) share
+    one compiled program per (mesh, index-structure, bq)."""
+    treedef = jax.tree_util.tree_structure(index)
+    key = (mesh, use_abs_dot, bq, treedef)
+    fn_s = _label_nn_cache.get(key)
+    if fn_s is None:
+        axes = tuple(mesh.axis_names)
+
+        def fn(index_, qp, qn, r, cg):
+            return search.nearest_gated(index_, qp, qn, r, cg,
+                                        use_abs_dot=use_abs_dot, bq=bq)
+
+        index_specs = jax.tree_util.tree_map(lambda _: P(), index)
+        fn_s = jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(index_specs, P(axes), P(axes), P(), P()),
+            out_specs=(P(axes), P(axes), P(axes)), check_vma=False))
+        _label_nn_cache[key] = fn_s
+    return fn_s(index, jnp.asarray(q_pos), jnp.asarray(q_nrm),
+                jnp.float32(radius), jnp.float32(cos_gate))
+
+
 def refine_sp_factor(n_pairs: int, n_points: int,
                      n_devices: Optional[int] = None) -> int:
     """The sp (point-axis) factor for a refine-ICP launch: how many chips

@@ -319,7 +319,14 @@ def run(input_db: str, output_db: str,
 
     t0 = time.perf_counter()
     scene = db.scenes[time_idx].cloud
-    labels_ops.arrangement_to_labels(db, scene, db.arrangements[time_idx])
+    # multi-chip: shard each label-assign launch's scene-query axis over
+    # all devices (the reference OpenMP-parallelizes these same batches,
+    # rs_pointcloud_filters.cpp:780-879)
+    from ..parallel import mesh as pmesh
+    lmesh = (pmesh.make_flat_mesh()
+             if pmesh.active_device_count() > 1 else None)
+    labels_ops.arrangement_to_labels(db, scene, db.arrangements[time_idx],
+                                     mesh=lmesh)
     timings["label_assign"] = time.perf_counter() - t0
     t1 = time.perf_counter()
     planes.relabel_walls_and_floors(db, scene, plane_models)

@@ -142,3 +142,46 @@ def test_production_stage_sharded_equals_single(tmp_path):
     assert len(p_ref) == len(p_sh)
     np.testing.assert_allclose(p_sh, p_ref, atol=1e-6)
     np.testing.assert_allclose(s_sh, s_ref, atol=1e-5)
+
+
+def test_label_transfer_sharded_equals_single(tmp_path):
+    """arrangement_to_labels with the query axis sharded over the 8-device
+    mesh must write IDENTICAL labels: the gated 1-NN is per-query, so
+    sharding changes no arithmetic (VERDICT r4 item 6)."""
+    import numpy as np
+    from rescan_tpu import config
+    from rescan_tpu.core.pointcloud import PointCloud
+    from rescan_tpu.io.rsdb import Placement, RsObject, Rsdb, RsScene
+    from rescan_tpu.ops import labels as labels_ops
+    from rescan_tpu.utils import synthetic
+
+    spec = synthetic.SceneSpec(room_size=(1.6, 1.6), wall_height=0.9,
+                               objects=[
+        ("chair", (0.45, 0.45), (0.35, 0.5, 0.35), 0.0),
+        ("table", (1.1, 1.1), (0.4, 0.35, 0.3), 0.2)])
+    ply = str(tmp_path / "scene.ply")
+    synthetic.save_scene_ply(ply, spec, resolution=6)
+    scene = PointCloud.from_ply(ply)
+    db = Rsdb()
+    db.class_table = {n: i for i, n in enumerate(synthetic.NYU40_CLASSES)}
+    arr = []
+    for k, uidx in enumerate((3, 4)):
+        sub = scene.extract_by_ids(0, "instance_ids", [uidx],
+                                   compute_levels=True)
+        db.objects.append(RsObject(uidx=uidx, filename=f"o{uidx}.ply",
+                                   class_idx=5 + k, cloud=sub))
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.01 * k
+        arr.append(Placement(uidx, 0, k, 0, pose, 0.9))
+    db.scenes.append(RsScene(uidx=0, arrangement_idx=0, scn_filename=ply,
+                             cloud=scene))
+
+    labels_ops.arrangement_to_labels(db, scene, arr)
+    L = scene.levels[config.LABEL_LVL]
+    cls_ref = L["class_ids"].copy()
+    ins_ref = L["instance_ids"].copy()
+
+    labels_ops.arrangement_to_labels(db, scene, arr,
+                                     mesh=pmesh.make_flat_mesh(8))
+    np.testing.assert_array_equal(L["class_ids"], cls_ref)
+    np.testing.assert_array_equal(L["instance_ids"], ins_ref)
