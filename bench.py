@@ -49,10 +49,18 @@ class BenchTimeout(RuntimeError):
     pass
 
 
-def emit(value, vs_baseline, error=None):
-    """Print the single headline JSON line (the bench's whole contract)."""
+def emit(value, vs_baseline, error=None, extra=None):
+    """Print the single headline JSON line (the bench's whole contract).
+
+    ``extra`` carries the end-to-end fields (segment_transfer_sec_per_rescan,
+    e2e_sec_per_rescan) — same line, headline metric unchanged. No C++
+    baseline exists for them on this machine (the reference's
+    segment_transfer needs gco-v3.0, which is not vendored — BASELINE.md),
+    so they are recorded absolute."""
     rec = {"metric": "pose_proposal_sec_per_rescan",
            "value": value, "unit": "s", "vs_baseline": vs_baseline}
+    if extra:
+        rec.update(extra)
     if error is not None:
         rec["error"] = error
     print(json.dumps(rec))
@@ -196,17 +204,27 @@ def run_bench():
     while time.perf_counter() - t0 < 420 and n_runs < 3:
         secs = min(secs, timed_run(f"measured{n_runs + 1}"))
         n_runs += 1
-    # the segment_transfer profile is informational (no C++ baseline
-    # exists for it); skip it when cold XLA compiles ate the budget so the
-    # headline JSON line always lands within the harness timeout
+    # segment_transfer: first run warms its compiles, the second is the
+    # measured WARM number — together with the pose_proposal headline this
+    # is the captured end-to-end sec/rescan (VERDICT r4 item 3). Skipped
+    # when cold XLA compiles ate the budget so the headline JSON line
+    # always lands within the harness timeout.
+    extra = {}
     if time.perf_counter() - t0 < 420:
         st = segment_transfer_profile()
+        print("SEGMENT_TRANSFER_PROFILE[warmup]: " + " ".join(
+            f"{k}={v}s" for k, v in st.items()))
+        if time.perf_counter() - t0 < 600:
+            st = segment_transfer_profile()
         print("SEGMENT_TRANSFER_PROFILE: " + " ".join(
             f"{k}={v}s" for k, v in st.items()))
+        st_total = float(st.get("total", 0.0))
+        extra = {"segment_transfer_sec_per_rescan": round(st_total, 3),
+                 "e2e_sec_per_rescan": round(secs + st_total, 3)}
     else:
         print("SEGMENT_TRANSFER_PROFILE: skipped (compile warm-up consumed "
               "the time budget; see BASELINE.md round-2 numbers)")
-    emit(round(secs, 3), round(REFERENCE_SECONDS / secs, 2))
+    emit(round(secs, 3), round(REFERENCE_SECONDS / secs, 2), extra=extra)
 
 
 def _alarm_handler(signum, frame):

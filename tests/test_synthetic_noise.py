@@ -129,3 +129,68 @@ def test_noisy_scene_ingests(tmp_path):
     back = plyio.load_surfel_ply(str(tmp_path / "noisy.ply"))
     assert len(back["positions"]) == len(cloud["positions"])
     assert set(np.unique(back["instance_ids"])) >= {0, 1, 3, 4, 5, 6, 7}
+
+
+def test_pose_error_is_rigid_and_small(tmp_path):
+    """pose_error applies ONE rigid transform to the whole scan: pairwise
+    distances are preserved, displacement magnitude matches the knob, and
+    normals rotate with the geometry (r5 item 7)."""
+    spec = synthetic.SceneSpec(room_size=(2.0, 2.0), wall_height=1.0,
+                               objects=[("chair", (0.6, 0.6),
+                                         (0.4, 0.5, 0.4), 0.0)])
+    base = synthetic.save_scene_ply(str(tmp_path / "a.ply"), spec,
+                                    resolution=8, seed=1)
+    pert = synthetic.save_scene_ply(str(tmp_path / "b.ply"), spec,
+                                    resolution=8, seed=1,
+                                    pose_error=(0.01, 1.0))
+    a, b = base["positions"], pert["positions"]
+    assert a.shape == b.shape
+    # rigid: pairwise distances preserved
+    ii = np.arange(0, len(a) - 1, 97)
+    da = np.linalg.norm(a[ii] - a[ii + 1], axis=1)
+    db = np.linalg.norm(b[ii] - b[ii + 1], axis=1)
+    np.testing.assert_allclose(da, db, atol=1e-5)
+    # small but nonzero: cm-scale displacement
+    disp = np.linalg.norm(a - b, axis=1)
+    assert 1e-4 < np.median(disp) < 0.2
+    # normals rotated consistently: same angle between normal pairs
+    na, nb = base["normals"], pert["normals"]
+    ca = (na[ii] * na[ii + 1]).sum(1)
+    cb = (nb[ii] * nb[ii + 1]).sum(1)
+    np.testing.assert_allclose(ca, cb, atol=1e-4)
+
+
+def test_density_falloff_drops_far_faces(tmp_path):
+    """density_falloff removes proportionally more mesh AREA far from the
+    scanner (the quantity seg2rsdb's uniform-per-area resample sees),
+    keeps near geometry intact, and leaves no orphan vertices."""
+    spec = synthetic.SceneSpec(room_size=(4.0, 4.0), wall_height=2.0,
+                               objects=[("chair", (1.0, 1.0),
+                                         (0.5, 0.8, 0.5), 0.0)])
+    base = synthetic.save_scene_ply(str(tmp_path / "a.ply"), spec,
+                                    resolution=12, seed=2)
+    thin = synthetic.save_scene_ply(str(tmp_path / "b.ply"), spec,
+                                    resolution=12, seed=2,
+                                    density_falloff=((1.0, 1.0), 0.4))
+    assert len(thin["positions"]) < len(base["positions"])
+    # no orphan vertices
+    used = np.zeros(len(thin["positions"]), bool)
+    used[thin["faces"].reshape(-1)] = True
+    assert used.all()
+
+    def area_ratio(scan, ref, sel_fn):
+        def area(m):
+            pos, f = m["positions"], m["faces"]
+            cen = pos[f].mean(axis=1)
+            tri = np.cross(pos[f[:, 1]] - pos[f[:, 0]],
+                           pos[f[:, 2]] - pos[f[:, 0]])
+            a = 0.5 * np.linalg.norm(tri, axis=1)
+            return a[sel_fn(cen)].sum()
+        return area(scan) / max(area(ref), 1e-9)
+
+    near = lambda c: np.hypot(c[:, 0] - 1.0, c[:, 2] - 1.0) < 1.0
+    far = lambda c: np.hypot(c[:, 0] - 1.0, c[:, 2] - 1.0) > 2.5
+    keep_near = area_ratio(thin, base, near)
+    keep_far = area_ratio(thin, base, far)
+    assert keep_near > 0.95          # full density within 1 m
+    assert keep_far < keep_near - 0.2  # monotone falloff with distance

@@ -43,11 +43,18 @@ def build_sequence(root: str, small: bool, n_scans: int = 3,
             mv, which = moves[(len(specs) - 1) % len(moves)]
             specs.append(synthetic.moved_scene_spec(specs[-1], mv,
                                                     which=which))
+        # r5 item 7: rescans additionally carry a per-scan global
+        # registration error (~1 cm / ~1 deg; scan 0 anchors the
+        # registration) and a radial density falloff from a scanner
+        # position that walks around the room
+        scanner = [(1.2, 1.0), (2.8, 1.2), (2.9, 3.0), (1.1, 2.8)]
         for i, spec in enumerate(specs):
             synthetic.save_scene_ply(
                 os.path.join(gt, f"scan_{i:03d}.ply"), spec, resolution=res,
                 seed=i, noise_sigma=0.003, normal_jitter_deg=6.0,
-                occlusion=(np.deg2rad(160.0 + 85.0 * i), np.deg2rad(40.0)))
+                occlusion=(np.deg2rad(160.0 + 85.0 * i), np.deg2rad(40.0)),
+                pose_error=(0.01, 1.0) if i > 0 else None,
+                density_falloff=(scanner[i % len(scanner)], 0.12))
         synthetic.write_class_file(os.path.join(root, "nyu40_classes.txt"))
         return
     if small:

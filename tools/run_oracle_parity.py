@@ -68,7 +68,9 @@ def main() -> int:
     ap.add_argument("--scene", choices=["clean", "noisy"], default="clean",
                     help="noisy: rotated room, cylinder + concave shapes, "
                          "sensor noise, normal jitter, per-scan sector "
-                         "occlusion (VERDICT r4 item 5)")
+                         "occlusion (VERDICT r4 item 5), plus per-scan "
+                         "global registration error (1 cm / 1 deg) and "
+                         "radial density falloff (r5 item 7)")
     args = ap.parse_args()
     if args.scene == "noisy" and args.root == "/tmp/rescan_oracle_parity":
         args.root = "/tmp/rescan_oracle_parity_noisy"
@@ -89,10 +91,16 @@ def main() -> int:
         spec = synthetic.noisy_scene_spec(room=args.room)
         # partial views: each scan misses a different wedge of the room
         # (both wedges kept clear of the movable objects)
+        # + per-scan registration error (~1 cm, ~1 deg — scan 0 is the
+        # registration anchor, so only the rescan is perturbed) and radial
+        # density falloff from each scan's scanner position (r5 item 7)
         noise_kw0 = dict(noise_sigma=0.003, normal_jitter_deg=6.0,
-                         occlusion=(np.deg2rad(160.0), np.deg2rad(40.0)))
+                         occlusion=(np.deg2rad(160.0), np.deg2rad(40.0)),
+                         density_falloff=((1.2, 1.0), 0.12))
         noise_kw1 = dict(noise_sigma=0.003, normal_jitter_deg=6.0,
-                         occlusion=(np.deg2rad(-115.0), np.deg2rad(40.0)))
+                         occlusion=(np.deg2rad(-115.0), np.deg2rad(40.0)),
+                         pose_error=(0.01, 1.0),
+                         density_falloff=((2.8, 3.0), 0.12))
     else:
         spec = synthetic.SceneSpec(
             room_size=(args.room, args.room), wall_height=2.5, objects=[

@@ -31,7 +31,10 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
         "XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                " --xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): this shell exports JAX_PLATFORMS=axon, and
+# rescan_tpu/__init__ re-pins jax.config from the env var — a setdefault
+# would leave "axon" standing and park the study on the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -55,9 +55,13 @@ def main() -> int:
                 break
         assert arr, "no non-empty arrangement in db"
         scene = db.scenes[-1].cloud
+        lvl = config.LABEL_LVL
+        # GT segmentation carried from scan ingest (pose_proposal does not
+        # label, so a *_pp.rsdb's level ids are still the scan's ground
+        # truth) — stashed BEFORE label transfer overwrites them
+        gt = {k: v.copy() for k, v in scene.levels[lvl].items()}
         labels_ops.arrangement_to_labels(db, scene, arr)
 
-        lvl = config.LABEL_LVL
         base = {k: v.copy() for k, v in scene.levels[lvl].items()}
         n = len(base["class_ids"])
 
@@ -127,6 +131,64 @@ def main() -> int:
         out["energy_delta_meanfield_minus_abswap"] = (
             out["engines"]["native"]["energy"]
             - out["engines"]["abswap"]["energy"])
+
+        # --- where do the engines disagree? (VERDICT r4 item 5: evidence
+        # for the "boundary-only" claim). GT boundary = a point with a
+        # smoothing-graph neighbor of a different GT instance; bucket every
+        # engine-disagreement point by distance to its nearest GT-boundary
+        # point, against the all-points base rate ---
+        gt_inst = gt.get("instance_ids")
+        if gt_inst is not None and len(np.unique(gt_inst)) > 1:
+            from rescan_tpu.core import native as native_mod
+            bnd = np.zeros(n, bool)
+            diff = gt_inst[edges[:, 0]] != gt_inst[edges[:, 1]]
+            bnd[edges[diff, 0]] = True
+            bnd[edges[diff, 1]] = True
+            pts = scene.pos(lvl)
+            bpts = pts[bnd]
+            r_max = 0.3
+            grid = native_mod.HostGrid(bpts, r_max)
+            _, d2, cnt = grid.radius_search(pts.astype(np.float32),
+                                            r_max, 1)
+            cnt = np.asarray(cnt).reshape(-1)
+            dist = np.where(cnt > 0, np.sqrt(np.maximum(d2[:, 0], 0.0)),
+                            r_max + 1)
+            edges_bk = [0.0, 0.02, 0.05, 0.10, r_max, np.inf]
+            names = ["<=2cm", "2-5cm", "5-10cm", "10-30cm", ">30cm"]
+            dis = a_i != b_i
+            bk = {}
+            for lo, hi, nm in zip(edges_bk[:-1], edges_bk[1:], names):
+                sel = (dist >= lo) & (dist < hi)
+                bk[nm] = {
+                    "all_points_pct": round(100.0 * float(sel.mean()), 3),
+                    "disagreement_pct": round(
+                        100.0 * float(sel[dis].mean()) if dis.any() else 0.0,
+                        3)}
+            out["gt_boundary_points_pct"] = round(
+                100.0 * float(bnd.mean()), 3)
+            out["disagreement_by_dist_to_gt_boundary"] = bk
+
+            # end metric the smoothing stage controls: level-1 semantic
+            # mIoU vs the scan's GT class ids, per engine (the r03 claim
+            # "end-metric delta <= 0.019" was mIoU-based)
+            gt_cls = gt["class_ids"]
+            classes = [c for c in np.unique(gt_cls) if c != unlabelled_idx]
+
+            def miou(pred_cls):
+                ious = []
+                for c in classes:
+                    inter = float(((pred_cls == c) & (gt_cls == c)).sum())
+                    union = float(((pred_cls == c) | (gt_cls == c)).sum())
+                    if union > 0:
+                        ious.append(inter / union)
+                return float(np.mean(ious)) if ious else float("nan")
+
+            for engine, (ii, cc) in results.items():
+                out["engines"][engine]["miou_lvl1_vs_gt"] = round(
+                    miou(cc), 4)
+            out["miou_delta_meanfield_minus_abswap"] = round(
+                out["engines"]["native"]["miou_lvl1_vs_gt"]
+                - out["engines"]["abswap"]["miou_lvl1_vs_gt"], 4)
     finally:
         os.chdir(cwd)
 
