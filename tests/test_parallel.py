@@ -185,3 +185,51 @@ def test_label_transfer_sharded_equals_single(tmp_path):
                                      mesh=pmesh.make_flat_mesh(8))
     np.testing.assert_array_equal(L["class_ids"], cls_ref)
     np.testing.assert_array_equal(L["instance_ids"], ins_ref)
+
+
+@pytest.mark.slow
+def test_sharding_adds_no_serialization_pathology():
+    """Fixed TOTAL workload: the 8-device sharded scoring launch must not
+    be SLOWER than single-device beyond dispatch noise (VERDICT r4 item 4).
+    On this 1-core host the 8 virtual devices timeslice the core, so a
+    speedup is impossible — the gate is a generous 1.5x bound that catches
+    a serialization/collective pathology while tolerating timeslice jitter
+    (tools/run_scaling.py measured 0.97x at these shapes)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    from rescan_tpu.ops import hashgrid
+
+    r = np.random.default_rng(3)
+    n_scene, n_obj, H = 60_000, 512, 1024
+    pts = r.uniform(0, 4, (n_scene, 3)).astype(np.float32)
+    pts[:, 1] *= 0.4
+    nrm = np.zeros((n_scene, 3), np.float32)
+    nrm[:, 1] = 1
+    grid = hashgrid.build_grid(pts, 0.1, normals=nrm)
+    pts_all = jnp.asarray((pts[:n_obj]
+                           + np.array([0.01, 0.004, -0.008], np.float32))[None])
+    nrm_all = jnp.asarray(nrm[:n_obj][None])
+    mask_all = jnp.ones((1, n_obj), bool)
+    hyps = np.tile(np.eye(4, dtype=np.float32), (H, 1, 1))
+    hyps[:, 0, 3] = np.linspace(-0.15, 0.15, H)
+    owner = jnp.zeros(H, jnp.int32)
+    h = jnp.asarray(hyps)
+
+    walls = {}
+    for n in (1, 8):
+        m = pmesh.make_flat_mesh(n)
+
+        def launch():
+            return np.asarray(pmesh.score_multi_sharded(
+                m, grid, pts_all, nrm_all, mask_all, h, owner, 0.1, 0.1))
+
+        launch()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            launch()
+            best = min(best, time.perf_counter() - t0)
+        walls[n] = best
+    assert walls[8] <= 1.5 * walls[1] + 0.05, walls

@@ -12,13 +12,15 @@ assert ds and ds[0].platform != "cpu", ds
 print("TPU_PROBE_OK", len(ds), ds[0].platform)'
 
 while true; do
-  if timeout 100 python -c "$PROBE" > /tmp/tpu_probe5.log 2>&1; then
+  timeout 100 python -c "$PROBE" > /tmp/tpu_probe5.log 2>&1
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
     echo "$(date -u +%H:%M:%S) TPU_BACK: $(tail -1 /tmp/tpu_probe5.log)"
     date -u > /tmp/TPU_BACK
     bash tools/tpu_queue_r05.sh >> /tmp/tpu_queue5.log 2>&1
     echo "$(date -u +%H:%M:%S) queue finished"
     exit 0
   fi
-  echo "$(date -u +%H:%M:%S) rc=$? still down: $(tail -c 120 /tmp/tpu_probe5.log | tr '\n' ' ')"
+  echo "$(date -u +%H:%M:%S) rc=$rc still down: $(tail -c 120 /tmp/tpu_probe5.log | tr '\n' ' ')"
   sleep 360
 done
