@@ -198,6 +198,20 @@ class PointCloud:
             ex = ThreadPoolExecutor(max_workers=1)
 
             def build_rest():
+                # the host VM has ONE core: at default priority this
+                # thread's native subsample (GIL-released) timeslices
+                # 50/50 against the main thread's host-serial stages
+                # (grid/occupancy build) instead of filling the tunnel
+                # waits — measured as the grid_occupancy substage swinging
+                # 1.8->4.2 s run to run. nice +19 makes it run ONLY while
+                # the main thread blocks (device transfers/launches).
+                try:
+                    import ctypes
+                    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+                    tid = libc.syscall(186)          # SYS_gettid (x86_64)
+                    libc.setpriority(0, tid, 19)     # PRIO_PROCESS
+                except Exception:
+                    pass
                 for lvl in range(stop, config.N_LEVELS):
                     build(lvl)
 

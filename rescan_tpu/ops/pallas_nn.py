@@ -60,6 +60,20 @@ QUERY_BLOCK = int(os.environ.get("RESCAN_QUERY_BLOCK", 0)) or None
 _ENV_TILE = int(os.environ.get("RESCAN_SCENE_TILE", 0)) or None
 SCENE_TILE = _ENV_TILE or 2048
 _DEFAULT_BLOCK = 256
+# Sub-blocks per Pallas grid step. The round-5 roofline (ROOFLINE_r05.json)
+# showed the scoring wall is grid-STEP-prologue-bound: ~18 us of fixed
+# per-step cost x 400k query blocks ~= the whole 7.7 s scoring wall, with
+# 77.5% of blocks pure FAR padding. One grid step therefore processes
+# N_SUB consecutive bq-wide sub-blocks through an in-kernel fori_loop —
+# per-sub-block bbox pruning, loop ranges, and reduction order are
+# UNCHANGED (bit-identical results), but the fixed step cost is paid once
+# per N_SUB blocks.
+N_SUB = int(os.environ.get("RESCAN_SUB_BLOCKS", 0)) or 8
+# Skip the per-tile near recheck (lax.cond) inside the [lo, hi) loop and
+# compute EVERY tile in the span unconditionally. Semantically safe — a
+# non-near tile contributes no in-radius neighbors — and profitable when
+# the per-step branch cost exceeds the wasted tile computes (probe).
+NO_COND = os.environ.get("RESCAN_NO_COND") == "1"
 
 
 def block_for(n_run: int) -> int:
@@ -128,106 +142,132 @@ def morton_order(points: np.ndarray, cell: float = 0.2) -> np.ndarray:
     return np.argsort(morton_key(points, cell), kind="stable")
 
 
-def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bounds_v_ref,
-               scene_ref, *out_refs, use_abs_dot: bool, want_idx: bool,
-               n_tiles: int, bq: int, tile: int):
-    """One query block vs all scene tiles.
+def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bbox_ref,
+               lohi_ref, scene_ref, *out_refs, use_abs_dot: bool,
+               want_idx: bool, n_tiles: int, bq: int, tile: int,
+               n_sub: int):
+    """N_SUB query sub-blocks vs all scene tiles, in one grid step.
 
-    q_ref:     (8, QUERY_BLOCK)  rows: x y z |q|^2 nx ny nz pad
+    q_ref:     (8, bq * n_sub)   rows: x y z |q|^2 nx ny nz pad
     scene_ref: (8, N_pad)        rows: x y z |p|^2 nx ny nz pad
     tile_bounds_ref: (n_tiles, 8) in SMEM: xmin ymin zmin _ xmax ymax zmax _
-    bounds_v_ref: (8, NT_pad) in VMEM: same bounds transposed, padded with
-        min=+1e6 / max=-1e6 so padding tiles are never near
-    outputs: (1, QUERY_BLOCK) best [idx] / d2 / dot for this block; the
-        idx output (and its int32 carry) exists only when want_idx — the
-        scoring path needs only (d2, dot) and skips the index epilogue.
+    bbox_ref:  (n_sub, 8) f32 in SMEM — per-SUB-BLOCK query bounds,
+        precomputed vectorized in XLA by _run_kernel (same layout as
+        tile_bounds: min in cols 0-2, max in cols 4-6)
+    lohi_ref:  (n_sub, 2) i32 in SMEM — per-sub-block near-tile loop
+        range [lo, hi), also precomputed in XLA
+    outputs: (1, bq * n_sub) best [idx] / d2 / dot; the idx output (and
+        its int32 carry) exists only when want_idx — the scoring path
+        needs only (d2, dot) and skips the index epilogue.
+
+    Why the prologue lives OUTSIDE the kernel: vector->scalar reductions
+    (bbox mins/maxes, lo/hi extraction) cost ~1-2 us EACH on the VPU's
+    scalar path, and with one 128-query block per reduction set they
+    dominated the whole scoring wall (~18 us/block x 400k blocks,
+    ROOFLINE_r05.json). XLA computes every block's bbox and loop range in
+    one fused vectorized pass; the kernel reads them back as cheap SMEM
+    scalars. Results are bit-identical — same expressions, same order.
+    Each bq-wide sub-block keeps its OWN bbox and tile loop; the
+    fori_loop over sub-blocks amortizes the fixed grid-step cost.
     """
     r2 = rad_ref[0]
     cos_gate = gate_ref[0]
-    q = q_ref[:]                        # (8, BQ)
-    qx, qy, qz = q[0, :], q[1, :], q[2, :]
-    # query-block bounds for tile pruning
-    bxmin, bxmax = jnp.min(qx), jnp.max(qx)
-    bymin, bymax = jnp.min(qy), jnp.max(qy)
-    bzmin, bzmax = jnp.min(qz), jnp.max(qz)
     rad = jnp.sqrt(r2)
 
-    # vectorized near-mask over ALL tiles -> dynamic loop range [lo, hi):
-    # the loop visits only first..last near tile (typically ~10% of the
-    # Morton range for an object-sized query block).
-    tbv = bounds_v_ref[:]               # (8, NT_pad)
-    ntp = tbv.shape[1]
-    near_all = ((tbv[0:1, :] <= bxmax + rad) & (tbv[4:5, :] >= bxmin - rad) &
-                (tbv[1:2, :] <= bymax + rad) & (tbv[5:6, :] >= bymin - rad) &
-                (tbv[2:3, :] <= bzmax + rad) & (tbv[6:7, :] >= bzmin - rad))
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, ntp), 1)
-    lo = jnp.min(jnp.where(near_all, ii, ntp))
-    hi = jnp.max(jnp.where(near_all, ii, -1)) + 1
+    def sub_step(j, _):
+        q = q_ref[:, pl.ds(j * bq, bq)]     # (8, BQ)
+        # hoist the query-axis relayouts out of the tile loop: turning a
+        # lane-major (BQ,) row into the (BQ, 1) sublane-major operand of
+        # the outer-product broadcast is a relayout; done here it happens
+        # once per sub-block instead of once per visited tile
+        qx_c = q[0, :][:, None]
+        qy_c = q[1, :][:, None]
+        qz_c = q[2, :][:, None]
+        qnx_c = q[4, :][:, None]
+        qny_c = q[5, :][:, None]
+        qnz_c = q[6, :][:, None]
+        bxmin = bbox_ref[j, 0]
+        bymin = bbox_ref[j, 1]
+        bzmin = bbox_ref[j, 2]
+        bxmax = bbox_ref[j, 4]
+        bymax = bbox_ref[j, 5]
+        bzmax = bbox_ref[j, 6]
+        lo = lohi_ref[j, 0]
+        hi = lohi_ref[j, 1]
 
-    def tile_step(t, carry):
-        # prune: does this tile's bbox come within radius of the block's?
-        txmin = tile_bounds_ref[t, 0]
-        tymin = tile_bounds_ref[t, 1]
-        tzmin = tile_bounds_ref[t, 2]
-        txmax = tile_bounds_ref[t, 4]
-        tymax = tile_bounds_ref[t, 5]
-        tzmax = tile_bounds_ref[t, 6]
-        near = ((txmin <= bxmax + rad) & (txmax >= bxmin - rad) &
-                (tymin <= bymax + rad) & (tymax >= bymin - rad) &
-                (tzmin <= bzmax + rad) & (tzmax >= bzmin - rad))
+        def tile_step(t, carry):
+            # prune: does this tile's bbox come within radius of the
+            # block's?
+            txmin = tile_bounds_ref[t, 0]
+            tymin = tile_bounds_ref[t, 1]
+            tzmin = tile_bounds_ref[t, 2]
+            txmax = tile_bounds_ref[t, 4]
+            tymax = tile_bounds_ref[t, 5]
+            tzmax = tile_bounds_ref[t, 6]
+            near = ((txmin <= bxmax + rad) & (txmax >= bxmin - rad) &
+                    (tymin <= bymax + rad) & (tymax >= bymin - rad) &
+                    (tzmin <= bzmax + rad) & (tzmax >= bzmin - rad))
 
-        def compute():
-            s = scene_ref[:, pl.ds(t * tile, tile)]               # (8, T)
-            # VPU elementwise distances/dots: a K=3 contraction uses 3/128
-            # of the MXU's systolic depth, so dot_general (even at HIGHEST
-            # precision) measured ~2x SLOWER than plain f32 vector ops —
-            # and (q - p)^2 is exactly the reference's distance expression
-            # (no |q|^2 + |p|^2 - 2qp cancellation).
-            dx = q[0, :][:, None] - s[0, :][None, :]              # (BQ, T)
-            dy = q[1, :][:, None] - s[1, :][None, :]
-            dz = q[2, :][:, None] - s[2, :][None, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            ndot = (q[4, :][:, None] * s[4, :][None, :]
-                    + q[5, :][:, None] * s[5, :][None, :]
-                    + q[6, :][:, None] * s[6, :][None, :])
-            gate = jnp.abs(ndot) if use_abs_dot else jnp.maximum(ndot, 0.0)
-            ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
-            d2m = jnp.where(ok, d2, jnp.inf)
-            tb = jnp.argmin(d2m, axis=1)                          # (BQ,)
-            cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
-            sel = cols == tb[:, None]
-            td2 = jnp.min(d2m, axis=1)
-            tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
-            if want_idx:
-                best_d2, best_idx, best_dot = carry
-                tidx = t * tile + tb
+            def compute():
+                s = scene_ref[:, pl.ds(t * tile, tile)]           # (8, T)
+                # VPU elementwise distances/dots: a K=3 contraction uses
+                # 3/128 of the MXU's systolic depth, so dot_general (even
+                # at HIGHEST precision) measured ~2x SLOWER than plain f32
+                # vector ops — and (q - p)^2 is exactly the reference's
+                # distance expression (no |q|^2 + |p|^2 - 2qp
+                # cancellation).
+                dx = qx_c - s[0, :][None, :]                      # (BQ, T)
+                dy = qy_c - s[1, :][None, :]
+                dz = qz_c - s[2, :][None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                ndot = (qnx_c * s[4, :][None, :]
+                        + qny_c * s[5, :][None, :]
+                        + qnz_c * s[6, :][None, :])
+                gate = (jnp.abs(ndot) if use_abs_dot
+                        else jnp.maximum(ndot, 0.0))
+                ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
+                d2m = jnp.where(ok, d2, jnp.inf)
+                tb = jnp.argmin(d2m, axis=1)                      # (BQ,)
+                cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
+                sel = cols == tb[:, None]
+                td2 = jnp.min(d2m, axis=1)
+                tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
+                if want_idx:
+                    best_d2, best_idx, best_dot = carry
+                    tidx = t * tile + tb
+                    better = td2 < best_d2
+                    return (jnp.where(better, td2, best_d2),
+                            jnp.where(better, tidx, best_idx),
+                            jnp.where(better, tdot, best_dot))
+                best_d2, best_dot = carry
                 better = td2 < best_d2
                 return (jnp.where(better, td2, best_d2),
-                        jnp.where(better, tidx, best_idx),
                         jnp.where(better, tdot, best_dot))
-            best_d2, best_dot = carry
-            better = td2 < best_d2
-            return (jnp.where(better, td2, best_d2),
-                    jnp.where(better, tdot, best_dot))
 
-        return jax.lax.cond(near, compute, lambda: carry)
+            if NO_COND:
+                return compute()
+            return jax.lax.cond(near, compute, lambda: carry)
 
-    if want_idx:
-        init = (jnp.full((bq,), jnp.inf, jnp.float32),
-                jnp.full((bq,), -1, jnp.int32),
-                jnp.zeros((bq,), jnp.float32))
-        best_d2, best_idx, best_dot = jax.lax.fori_loop(lo, hi, tile_step,
-                                                        init)
-        found = best_d2 < jnp.inf
-        out_refs[0][0, :] = jnp.where(found, best_idx, -1)
-        out_refs[1][0, :] = best_d2
-        out_refs[2][0, :] = best_dot
-    else:
-        init = (jnp.full((bq,), jnp.inf, jnp.float32),
-                jnp.zeros((bq,), jnp.float32))
-        best_d2, best_dot = jax.lax.fori_loop(lo, hi, tile_step, init)
-        out_refs[0][0, :] = best_d2
-        out_refs[1][0, :] = best_dot
+        if want_idx:
+            init = (jnp.full((bq,), jnp.inf, jnp.float32),
+                    jnp.full((bq,), -1, jnp.int32),
+                    jnp.zeros((bq,), jnp.float32))
+            best_d2, best_idx, best_dot = jax.lax.fori_loop(
+                lo, hi, tile_step, init)
+            found = best_d2 < jnp.inf
+            out_refs[0][0, pl.ds(j * bq, bq)] = jnp.where(found, best_idx,
+                                                          -1)
+            out_refs[1][0, pl.ds(j * bq, bq)] = best_d2
+            out_refs[2][0, pl.ds(j * bq, bq)] = best_dot
+        else:
+            init = (jnp.full((bq,), jnp.inf, jnp.float32),
+                    jnp.zeros((bq,), jnp.float32))
+            best_d2, best_dot = jax.lax.fori_loop(lo, hi, tile_step, init)
+            out_refs[0][0, pl.ds(j * bq, bq)] = best_d2
+            out_refs[1][0, pl.ds(j * bq, bq)] = best_dot
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, sub_step, 0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -382,7 +422,12 @@ def build_sorted_slab(points: np.ndarray, normals: np.ndarray,
 def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
                 use_abs_dot: bool, want_idx: bool, bq: int):
     m = q_pos.shape[0]
-    mp = ((m + bq - 1) // bq) * bq
+    # one grid step covers N_SUB bq-wide sub-blocks (prologue
+    # amortization, see _nn_kernel); pad the query count to the
+    # super-block so the grid divides evenly — the extra sub-blocks are
+    # FAR padding whose near-tile range is empty
+    sbq = bq * N_SUB
+    mp = ((m + sbq - 1) // sbq) * sbq
     qc = q_pos - slab.center[None, :]
     qpad = jnp.full((mp, 3), 2 * FAR, qc.dtype).at[:m].set(qc)
     qnpad = jnp.zeros((mp, 3), q_nrm.dtype).at[:m].set(q_nrm)
@@ -391,22 +436,38 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
     qslab = qslab.at[3, :].set(jnp.sum(qpad * qpad, axis=1))
     qslab = qslab.at[4:7, :].set(qnpad.T)
 
-    n_blocks = mp // bq
+    n_blocks = mp // sbq
     rad2 = jnp.asarray([radius * radius], jnp.float32)
     cgate = jnp.asarray([cos_gate], jnp.float32)
 
-    # transposed, lane-padded copy of the tile bounds for the kernel's
-    # vectorized near-mask (padding: min=+1e6 / max=-1e6 -> never near)
-    ntp = ((slab.n_tiles + 127) // 128) * 128
-    bounds_v = jnp.concatenate([
-        jnp.full((4, ntp), FAR, jnp.float32),
-        jnp.full((4, ntp), -FAR, jnp.float32)], axis=0)
-    bounds_v = bounds_v.at[:, :slab.n_tiles].set(slab.tile_bounds.T)
+    # per-sub-block prologue, vectorized in XLA for ALL blocks at once
+    # (see _nn_kernel docstring): query bbox per bq-wide block, near-tile
+    # mask against the tile bounds, dynamic [lo, hi) loop range. Empty
+    # sentinel tiles carry FAR bounds and are never near; FAR padding
+    # blocks get an empty range (lo = n_tiles, hi = 0).
+    nbt = mp // bq
+    q3 = qslab[0:3].reshape(3, nbt, bq)
+    bmin = q3.min(axis=2)                                # (3, nbt)
+    bmax = q3.max(axis=2)
+    bbox = jnp.zeros((nbt, 8), jnp.float32)
+    bbox = bbox.at[:, 0:3].set(bmin.T).at[:, 4:7].set(bmax.T)
+    tb = slab.tile_bounds                                # (n_tiles, 8)
+    radj = jnp.sqrt(rad2[0])
+    near = ((tb[None, :, 0] <= bmax[0][:, None] + radj) &
+            (tb[None, :, 4] >= bmin[0][:, None] - radj) &
+            (tb[None, :, 1] <= bmax[1][:, None] + radj) &
+            (tb[None, :, 5] >= bmin[1][:, None] - radj) &
+            (tb[None, :, 2] <= bmax[2][:, None] + radj) &
+            (tb[None, :, 6] >= bmin[2][:, None] - radj))  # (nbt, n_tiles)
+    ii = jnp.arange(slab.n_tiles, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(near, ii[None, :], slab.n_tiles), axis=1)
+    hi = jnp.max(jnp.where(near, ii[None, :], -1), axis=1) + 1
+    lohi = jnp.stack([lo, hi], axis=1).astype(jnp.int32)  # (nbt, 2)
 
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
                                want_idx=want_idx, n_tiles=slab.n_tiles,
-                               bq=bq, tile=slab.tile)
-    out_spec = pl.BlockSpec((1, bq), lambda i: (0, i),
+                               bq=bq, tile=slab.tile, n_sub=N_SUB)
+    out_spec = pl.BlockSpec((1, sbq), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     out_specs = [out_spec] * (3 if want_idx else 2)
     out_shape = ([jax.ShapeDtypeStruct((1, mp), jnp.int32)] if want_idx
@@ -420,15 +481,18 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # radius^2
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # cos gate
-            pl.BlockSpec((8, bq), lambda i: (0, i),
+            pl.BlockSpec((8, sbq), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                 # queries
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # tile bounds
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # bounds_v
+            pl.BlockSpec((N_SUB, 8), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),                 # block bbox
+            pl.BlockSpec((N_SUB, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),                 # block lo/hi
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # scene slab
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-    )(rad2, cgate, qslab, slab.tile_bounds, bounds_v, slab.slab)
+    )(rad2, cgate, qslab, slab.tile_bounds, bbox, lohi, slab.slab)
     return outs, m
 
 

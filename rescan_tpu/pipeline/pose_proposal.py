@@ -276,10 +276,19 @@ def grid_search_all_objects(db: rsdbio.Rsdb, scene_grid, scene_bbox,
 
     poses_of, scores_of = {}, {}
     thr = config.SCORE_THRESHOLDS[lvl]
+    gs_stats = os.environ.get("RESCAN_GS_STATS") == "1"
     for i in dyn:
         s4 = np.zeros(len(hyps), np.float32)
         s4[alive[i]] = lvl4_scores[req_of[i]]
         keep = _select_cell_best(s4, cell_of_hyp, thr)
+        if gs_stats and len(alive[i]):
+            sa = s4[alive[i]]
+            print(f"GS_STATS: obj {i} alive={len(alive[i])} "
+                  f"pass_thr={int((sa > thr).sum())} "
+                  f"kept={len(keep)} "
+                  f"score_pcts(50/90/99)="
+                  f"{np.percentile(sa, [50, 90, 99]).round(3).tolist()} "
+                  f"thr={thr}")
         poses_of[i] = hyps[keep]
         scores_of[i] = s4[keep].astype(np.float32)
         if verbose:
