@@ -244,20 +244,24 @@ def build_smoothing_graph(scene) -> Tuple[np.ndarray, np.ndarray]:
 
 def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
                   n_icm: int = 8, engine: str | None = None) -> None:
-    """Mean-field + masked-ICM smoothing of level-1 instance labels over
-    the reference's unary + weighted-Potts energy
-    (rspf_smooth_labels, rs_pointcloud_filters.cpp:882-989).
+    """Smoothing of level-1 instance labels over the reference's unary +
+    weighted-Potts energy (rspf_smooth_labels,
+    rs_pointcloud_filters.cpp:882-989).
 
-    Engine dispatch (same rule as the k-NN graph build above): the update
-    is a sparse row-gather over per-node beliefs — a scalar-gather pattern
-    that is slow on the TPU and pays tunnel compiles — so the default
-    engine is the native host kernel (``rescan_meanfield_icm``); the JAX
-    engine (``engine='jax'`` or env RESCAN_SMOOTH_ENGINE=jax) implements
-    the identical update and is the multi-chip/oracle path — agreement is
-    unit-tested in tests/test_energy_labels.py."""
+    Engine dispatch: the PRODUCTION DEFAULT is ``abswap`` — the native
+    alpha-beta-swap engine replicating the reference's gco swap(2) move
+    space (:955-968). SMOOTHING_PARITY_r05_NOISY measured the mean-field
+    substitute diverging on noisy scenes (17% label disagreement, Potts
+    energy 743k vs 78k, end-metric deltas ~0.09-0.19 on the noisy
+    sequence), so graph-cut fidelity wins the default despite ~+8 s per
+    timestep. The mean-field + masked-ICM engines remain selectable as
+    the fast path (``engine='native'`` for the host kernel, ``'jax'``
+    for the multi-chip identical-update path; env RESCAN_SMOOTH_ENGINE
+    overrides) — all three optimize the identical integer energy and
+    their agreement is unit-tested in tests/test_energy_labels.py."""
     import os as _os
 
-    engine = engine or _os.environ.get("RESCAN_SMOOTH_ENGINE", "native")
+    engine = engine or _os.environ.get("RESCAN_SMOOTH_ENGINE", "abswap")
 
     lvl = config.LABEL_LVL
     L = scene.levels[lvl]
@@ -308,12 +312,11 @@ def smooth_labels(db: Rsdb, scene, n_meanfield: int = 30,
     icm_masks = (rng.random((n_icm, n_pad)) < 0.5)
 
     if engine == "abswap":
-        # graph-cut ORACLE engine (VERDICT r2 item 4): the reference's gco
-        # swap(2) move space reimplemented natively (rescan_abswap) over
-        # the identical integer energy. Used to measure how far the
-        # production mean-field engine sits from a swap-local optimum
-        # (tools/run_smoothing_parity.py); selectable for full pipeline
-        # runs via RESCAN_SMOOTH_ENGINE=abswap.
+        # PRODUCTION DEFAULT: the reference's gco swap(2) move space
+        # reimplemented natively (rescan_abswap) over the identical
+        # integer energy (rs_pointcloud_filters.cpp:955-968). Also the
+        # oracle tools/run_smoothing_parity.py measures the mean-field
+        # engines against.
         from ..core import native
         off, nbr, w2 = native.csr_from_edges(edges[:, 0], edges[:, 1],
                                              pair_w, n_real)
