@@ -1543,34 +1543,111 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
 // optimal swap move. Pair order: ascending (a < b), n_cycles passes (the
 // reference runs 2); each move never increases E, so the result is a
 // swap-local optimum to compare the production mean-field engine against.
+// The per-pair RESULT is algorithm-independent: the set of nodes reachable
+// from s in the residual graph of ANY max flow is the unique inclusion-
+// minimal min-cut source side, so any correct max-flow (and any graph/arc
+// construction order) yields the identical label trajectory. That licenses
+// the three performance rewrites below without touching the contract:
+//   1. per-label NODE BUCKETS (maintained ascending) replace the O(n) scan
+//      per pair — gathering pair (a, b) costs O(|a| + |b|);
+//   2. an EXACT trivial-pair skip: when every a-node has D(a)=0 < D(b),
+//      every b-node has D(b)=0 < D(a), and no positive-weight edge joins
+//      the two sets, the max flow is provably 0 and the cut keeps every
+//      node on its current side — no graph is built. In production unaries
+//      (0 for the point's own initial label, else a positive class cost)
+//      this skips every non-adjacent region pair, leaving ~O(adjacent
+//      pairs) real max-flows instead of L*(L-1)/2;
+//   3. a FLAT-CSR Dinic arena (SoA arc arrays + iterative current-arc DFS)
+//      reused across pairs replaces per-pair vector<vector<Arc>> and the
+//      std::function recursion.
 void rescan_abswap(const float* U, int64_t n, int32_t L,
                    const int32_t* csr_off, const int32_t* csr_nbr,
                    const float* csr_w, int32_t n_cycles, int32_t* labels) {
-  struct Arc { int32_t to; int32_t rev; int64_t cap; };
-  std::vector<std::vector<Arc>> g;
-  std::vector<int32_t> level, iter;
-  auto add_arc = [&](int32_t u, int32_t v, int64_t cap, int64_t rcap) {
-    g[u].push_back({v, (int32_t)g[v].size(), cap});
-    g[v].push_back({u, (int32_t)g[u].size() - 1, rcap});
-  };
+  std::vector<std::vector<int32_t>> bucket(L);
+  for (int64_t i = 0; i < n; ++i) bucket[labels[i]].push_back((int32_t)i);
   std::vector<int32_t> local(n, -1), nodes;
-  std::vector<int32_t> bfs_q;
+  std::vector<int32_t> bfs_q, level, iter, first, cursor, path;
+  // flat arc arena (SoA): to / reverse-arc index / residual capacity
+  std::vector<int32_t> ato, arev;
+  std::vector<int64_t> acap;
 
   for (int32_t cycle = 0; cycle < n_cycles; ++cycle) {
     for (int32_t a = 0; a < L; ++a) {
       for (int32_t b = a + 1; b < L; ++b) {
-        nodes.clear();
-        for (int64_t i = 0; i < n; ++i)
-          if (labels[i] == a || labels[i] == b) {
-            local[i] = (int32_t)nodes.size();
-            nodes.push_back((int32_t)i);
+        const std::vector<int32_t>& ba = bucket[a];
+        const std::vector<int32_t>& bb = bucket[b];
+        if (ba.empty() && bb.empty()) continue;
+
+        // exact trivial-pair test (rewrite 2 above): unary conditions
+        // first (O(|set|)), then an early-exit boundary-edge scan
+        bool trivial = true;
+        for (int pass = 0; pass < 2 && trivial; ++pass) {
+          const std::vector<int32_t>& bk = pass ? bb : ba;
+          for (const int32_t i : bk) {
+            const float* ui = U + (size_t)i * L;
+            const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
+            const bool own_ok = pass ? (db_ == 0 && da > 0)
+                                     : (da == 0 && db_ > 0);
+            if (!own_ok) { trivial = false; break; }
           }
-        if (nodes.empty()) continue;
+        }
+        if (trivial) {
+          for (const int32_t i : ba) {
+            for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
+              if (labels[csr_nbr[e]] == b && llroundf(csr_w[e]) > 0) {
+                trivial = false;
+                break;
+              }
+            if (!trivial) break;
+          }
+        }
+        if (trivial) continue;  // max flow provably 0: nothing changes
+
+        // gather the pair set ascending (two-pointer bucket merge)
+        nodes.clear();
+        {
+          size_t pa = 0, pb = 0;
+          while (pa < ba.size() || pb < bb.size()) {
+            if (pb >= bb.size() || (pa < ba.size() && ba[pa] < bb[pb]))
+              nodes.push_back(ba[pa++]);
+            else
+              nodes.push_back(bb[pb++]);
+          }
+        }
         const int32_t m = (int32_t)nodes.size();
         const int32_t S = m, T = m + 1;
-        g.assign(m + 2, {});
+        for (int32_t li = 0; li < m; ++li) local[nodes[li]] = li;
+
+        // flat-CSR graph build: count arcs per vertex, prefix-sum, fill
+        first.assign(m + 3, 0);
         for (int32_t li = 0; li < m; ++li) {
-          const int64_t i = nodes[li];
+          const int32_t i = nodes[li];
+          const float* ui = U + (size_t)i * L;
+          const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
+          if (db_ > 0) { ++first[S + 1]; ++first[li + 1]; }
+          if (da > 0) { ++first[li + 1]; ++first[T + 1]; }
+          for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
+            const int32_t j = csr_nbr[e];
+            if ((labels[j] == a || labels[j] == b) && j > i &&
+                llroundf(csr_w[e]) > 0) {
+              ++first[li + 1];
+              ++first[local[j] + 1];
+            }
+          }
+        }
+        for (int32_t u = 0; u < m + 2; ++u) first[u + 1] += first[u];
+        const int32_t n_arcs = first[m + 2];
+        ato.resize(n_arcs);
+        arev.resize(n_arcs);
+        acap.resize(n_arcs);
+        cursor.assign(first.begin(), first.begin() + m + 2);
+        auto add_arc = [&](int32_t u, int32_t v, int64_t cap, int64_t rc) {
+          const int32_t pu = cursor[u]++, pv = cursor[v]++;
+          ato[pu] = v; acap[pu] = cap; arev[pu] = pv;
+          ato[pv] = u; acap[pv] = rc; arev[pv] = pu;
+        };
+        for (int32_t li = 0; li < m; ++li) {
+          const int32_t i = nodes[li];
           const float* ui = U + (size_t)i * L;
           const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
           if (db_ > 0) add_arc(S, li, db_, 0);
@@ -1583,25 +1660,8 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
             }
           }
         }
-        // Dinic max-flow
-        level.assign(m + 2, -1);
-        iter.assign(m + 2, 0);
-        std::function<int64_t(int32_t, int64_t)> dfs =
-            [&](int32_t u, int64_t f) -> int64_t {
-          if (u == T) return f;
-          for (int32_t& it = iter[u]; it < (int32_t)g[u].size(); ++it) {
-            Arc& arc = g[u][it];
-            if (arc.cap > 0 && level[arc.to] == level[u] + 1) {
-              int64_t d = dfs(arc.to, f < arc.cap ? f : arc.cap);
-              if (d > 0) {
-                arc.cap -= d;
-                g[arc.to][arc.rev].cap += d;
-                return d;
-              }
-            }
-          }
-          return 0;
-        };
+
+        // Dinic max-flow: BFS levels + iterative current-arc DFS
         for (;;) {
           level.assign(m + 2, -1);
           level[S] = 0;
@@ -1609,30 +1669,71 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
           bfs_q.push_back(S);
           for (size_t h = 0; h < bfs_q.size(); ++h) {
             const int32_t u = bfs_q[h];
-            for (const Arc& arc : g[u])
-              if (arc.cap > 0 && level[arc.to] < 0) {
-                level[arc.to] = level[u] + 1;
-                bfs_q.push_back(arc.to);
+            for (int32_t e = first[u]; e < first[u + 1]; ++e)
+              if (acap[e] > 0 && level[ato[e]] < 0) {
+                level[ato[e]] = level[u] + 1;
+                bfs_q.push_back(ato[e]);
               }
           }
           if (level[T] < 0) break;
-          iter.assign(m + 2, 0);
-          while (dfs(S, INT64_MAX) > 0) {}
+          iter.assign(first.begin(), first.begin() + m + 2);
+          // blocking flow: walk forward along admissible current arcs,
+          // augment on reaching T (truncate the path at the first
+          // saturated arc), retire dead vertices on retreat
+          path.clear();
+          int32_t u = S;
+          for (;;) {
+            if (u == T) {
+              int64_t f = INT64_MAX;
+              for (const int32_t e : path) f = f < acap[e] ? f : acap[e];
+              for (const int32_t e : path) {
+                acap[e] -= f;
+                acap[arev[e]] += f;
+              }
+              size_t k = 0;
+              while (k < path.size() && acap[path[k]] > 0) ++k;
+              path.resize(k);
+              u = k ? ato[path[k - 1]] : S;
+              continue;
+            }
+            bool advanced = false;
+            for (int32_t& e = iter[u]; e < first[u + 1]; ++e)
+              if (acap[e] > 0 && level[ato[e]] == level[u] + 1) {
+                path.push_back(e);
+                u = ato[e];
+                advanced = true;
+                break;
+              }
+            if (advanced) continue;
+            level[u] = -1;  // dead end: no admissible arc remains
+            if (u == S) break;
+            const int32_t e = path.back();
+            path.pop_back();
+            u = ato[arev[e]];
+          }
         }
+
         // source-reachable nodes keep label a, the rest get b
         level.assign(m + 2, -1);
         level[S] = 0;
         bfs_q.clear();
         bfs_q.push_back(S);
-        for (size_t h = 0; h < bfs_q.size(); ++h)
-          for (const Arc& arc : g[bfs_q[h]])
-            if (arc.cap > 0 && level[arc.to] < 0) {
-              level[arc.to] = 0;
-              bfs_q.push_back(arc.to);
+        for (size_t h = 0; h < bfs_q.size(); ++h) {
+          const int32_t u = bfs_q[h];
+          for (int32_t e = first[u]; e < first[u + 1]; ++e)
+            if (acap[e] > 0 && level[ato[e]] < 0) {
+              level[ato[e]] = 0;
+              bfs_q.push_back(ato[e]);
             }
+        }
         for (int32_t li = 0; li < m; ++li)
           labels[nodes[li]] = level[li] == 0 ? a : b;
-        for (int32_t v : nodes) local[v] = -1;
+        for (const int32_t v : nodes) local[v] = -1;
+        // rebuild the two touched buckets (ascending order preserved:
+        // nodes is ascending and each bucket takes a subsequence)
+        bucket[a].clear();
+        bucket[b].clear();
+        for (const int32_t v : nodes) bucket[labels[v]].push_back(v);
       }
     }
   }

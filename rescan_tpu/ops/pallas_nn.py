@@ -12,10 +12,11 @@ are VPU elementwise ops: a K=3 dot_general uses 3/128 of the MXU's
 systolic depth and measured ~2x slower than plain f32 vector arithmetic.
 
 Pruning: points are Morton-sorted (build_sorted_slab), so scene tiles are
-spatially coherent. A vectorized bbox test over ALL tile bounds picks the
-dynamic [lo, hi) loop range per query block (object-pose blocks touch
-~1-2% of tiles); inside the range a per-tile SMEM bbox test skips the
-body with lax.cond (~0.4 us per skipped tile on v5e, ~12 us computed).
+spatially coherent. A vectorized bbox test over ALL tile bounds builds a
+COMPACTED ascending near-tile list per query block in one fused XLA pass
+(object-pose blocks touch ~1-2% of tiles); the kernel's tile loop visits
+exactly those tiles via SMEM scalars — no per-tile bounds recheck or
+lax.cond skip cost inside the kernel.
 Query blocks are contiguous runs of one pose's object points; callers
 Morton-sort the object points (morton_sort) so blocks are spatially
 TIGHT, which shrinks each block's near-tile range.
@@ -69,11 +70,6 @@ _DEFAULT_BLOCK = 256
 # UNCHANGED (bit-identical results), but the fixed step cost is paid once
 # per N_SUB blocks.
 N_SUB = int(os.environ.get("RESCAN_SUB_BLOCKS", 0)) or 8
-# Skip the per-tile near recheck (lax.cond) inside the [lo, hi) loop and
-# compute EVERY tile in the span unconditionally. Semantically safe — a
-# non-near tile contributes no in-radius neighbors — and profitable when
-# the per-step branch cost exceeds the wasted tile computes (probe).
-NO_COND = os.environ.get("RESCAN_NO_COND") == "1"
 
 
 def block_for(n_run: int) -> int:
@@ -142,37 +138,40 @@ def morton_order(points: np.ndarray, cell: float = 0.2) -> np.ndarray:
     return np.argsort(morton_key(points, cell), kind="stable")
 
 
-def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bbox_ref,
-               lohi_ref, scene_ref, *out_refs, use_abs_dot: bool,
-               want_idx: bool, n_tiles: int, bq: int, tile: int,
-               n_sub: int):
-    """N_SUB query sub-blocks vs all scene tiles, in one grid step.
+def _nn_kernel(rad_ref, gate_ref, q_ref, tlist_ref, cnt_ref, scene_ref,
+               *out_refs, use_abs_dot: bool, want_idx: bool, n_tiles: int,
+               bq: int, tile: int, n_sub: int):
+    """N_SUB query sub-blocks vs their NEAR scene tiles, in one grid step.
 
     q_ref:     (8, bq * n_sub)   rows: x y z |q|^2 nx ny nz pad
     scene_ref: (8, N_pad)        rows: x y z |p|^2 nx ny nz pad
-    tile_bounds_ref: (n_tiles, 8) in SMEM: xmin ymin zmin _ xmax ymax zmax _
-    bbox_ref:  (n_sub, 8) f32 in SMEM — per-SUB-BLOCK query bounds,
-        precomputed vectorized in XLA by _run_kernel (same layout as
-        tile_bounds: min in cols 0-2, max in cols 4-6)
-    lohi_ref:  (n_sub, 2) i32 in SMEM — per-sub-block near-tile loop
-        range [lo, hi), also precomputed in XLA
+    tlist_ref: (n_sub, n_tiles) i32 in SMEM — per-SUB-BLOCK COMPACTED
+        ascending list of near tile indices, precomputed vectorized in
+        XLA by _run_kernel (entries past cnt are the sentinel n_tiles
+        and never read)
+    cnt_ref:   (n_sub, 1) i32 in SMEM — number of near tiles per
+        sub-block (0 for FAR padding blocks: the tile loop is skipped
+        entirely)
     outputs: (1, bq * n_sub) best [idx] / d2 / dot; the idx output (and
         its int32 carry) exists only when want_idx — the scoring path
         needs only (d2, dot) and skips the index epilogue.
 
     Why the prologue lives OUTSIDE the kernel: vector->scalar reductions
-    (bbox mins/maxes, lo/hi extraction) cost ~1-2 us EACH on the VPU's
+    (bbox mins/maxes, near-tile selection) cost ~1-2 us EACH on the VPU's
     scalar path, and with one 128-query block per reduction set they
     dominated the whole scoring wall (~18 us/block x 400k blocks,
-    ROOFLINE_r05.json). XLA computes every block's bbox and loop range in
-    one fused vectorized pass; the kernel reads them back as cheap SMEM
-    scalars. Results are bit-identical — same expressions, same order.
-    Each bq-wide sub-block keeps its OWN bbox and tile loop; the
-    fori_loop over sub-blocks amortizes the fixed grid-step cost.
+    ROOFLINE_r05.json). XLA computes every block's near-tile list in one
+    fused vectorized pass; the kernel reads it back as cheap SMEM
+    scalars and visits EXACTLY the near tiles — no per-tile bounds
+    recheck, no lax.cond skip cost (~0.4 us x ~16 skipped tiles per real
+    block under the old [lo, hi) span loop). Results are bit-identical:
+    skipped tiles contributed nothing to the carry, and the computed
+    tiles keep their ascending order. Each bq-wide sub-block keeps its
+    OWN tile list; the fori_loop over sub-blocks amortizes the fixed
+    grid-step cost.
     """
     r2 = rad_ref[0]
     cos_gate = gate_ref[0]
-    rad = jnp.sqrt(r2)
 
     def sub_step(j, _):
         q = q_ref[:, pl.ds(j * bq, bq)]     # (8, BQ)
@@ -186,74 +185,51 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bbox_ref,
         qnx_c = q[4, :][:, None]
         qny_c = q[5, :][:, None]
         qnz_c = q[6, :][:, None]
-        bxmin = bbox_ref[j, 0]
-        bymin = bbox_ref[j, 1]
-        bzmin = bbox_ref[j, 2]
-        bxmax = bbox_ref[j, 4]
-        bymax = bbox_ref[j, 5]
-        bzmax = bbox_ref[j, 6]
-        lo = lohi_ref[j, 0]
-        hi = lohi_ref[j, 1]
+        cnt = cnt_ref[j, 0]
 
-        def tile_step(t, carry):
-            # prune: does this tile's bbox come within radius of the
-            # block's?
-            txmin = tile_bounds_ref[t, 0]
-            tymin = tile_bounds_ref[t, 1]
-            tzmin = tile_bounds_ref[t, 2]
-            txmax = tile_bounds_ref[t, 4]
-            tymax = tile_bounds_ref[t, 5]
-            tzmax = tile_bounds_ref[t, 6]
-            near = ((txmin <= bxmax + rad) & (txmax >= bxmin - rad) &
-                    (tymin <= bymax + rad) & (tymax >= bymin - rad) &
-                    (tzmin <= bzmax + rad) & (tzmax >= bzmin - rad))
-
-            def compute():
-                s = scene_ref[:, pl.ds(t * tile, tile)]           # (8, T)
-                # VPU elementwise distances/dots: a K=3 contraction uses
-                # 3/128 of the MXU's systolic depth, so dot_general (even
-                # at HIGHEST precision) measured ~2x SLOWER than plain f32
-                # vector ops — and (q - p)^2 is exactly the reference's
-                # distance expression (no |q|^2 + |p|^2 - 2qp
-                # cancellation).
-                dx = qx_c - s[0, :][None, :]                      # (BQ, T)
-                dy = qy_c - s[1, :][None, :]
-                dz = qz_c - s[2, :][None, :]
-                d2 = dx * dx + dy * dy + dz * dz
-                ndot = (qnx_c * s[4, :][None, :]
-                        + qny_c * s[5, :][None, :]
-                        + qnz_c * s[6, :][None, :])
-                gate = (jnp.abs(ndot) if use_abs_dot
-                        else jnp.maximum(ndot, 0.0))
-                ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
-                d2m = jnp.where(ok, d2, jnp.inf)
-                tb = jnp.argmin(d2m, axis=1)                      # (BQ,)
-                cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
-                sel = cols == tb[:, None]
-                td2 = jnp.min(d2m, axis=1)
-                tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
-                if want_idx:
-                    best_d2, best_idx, best_dot = carry
-                    tidx = t * tile + tb
-                    better = td2 < best_d2
-                    return (jnp.where(better, td2, best_d2),
-                            jnp.where(better, tidx, best_idx),
-                            jnp.where(better, tdot, best_dot))
-                best_d2, best_dot = carry
+        def tile_step(i, carry):
+            t = tlist_ref[j, i]
+            s = scene_ref[:, pl.ds(t * tile, tile)]           # (8, T)
+            # VPU elementwise distances/dots: a K=3 contraction uses
+            # 3/128 of the MXU's systolic depth, so dot_general (even
+            # at HIGHEST precision) measured ~2x SLOWER than plain f32
+            # vector ops — and (q - p)^2 is exactly the reference's
+            # distance expression (no |q|^2 + |p|^2 - 2qp
+            # cancellation).
+            dx = qx_c - s[0, :][None, :]                      # (BQ, T)
+            dy = qy_c - s[1, :][None, :]
+            dz = qz_c - s[2, :][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            ndot = (qnx_c * s[4, :][None, :]
+                    + qny_c * s[5, :][None, :]
+                    + qnz_c * s[6, :][None, :])
+            gate = (jnp.abs(ndot) if use_abs_dot
+                    else jnp.maximum(ndot, 0.0))
+            ok = (d2 < r2) & (gate >= cos_gate - 1e-6)
+            d2m = jnp.where(ok, d2, jnp.inf)
+            tb = jnp.argmin(d2m, axis=1)                      # (BQ,)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
+            sel = cols == tb[:, None]
+            td2 = jnp.min(d2m, axis=1)
+            tdot = jnp.max(jnp.where(sel, gate, -1.0), axis=1)
+            if want_idx:
+                best_d2, best_idx, best_dot = carry
+                tidx = t * tile + tb
                 better = td2 < best_d2
                 return (jnp.where(better, td2, best_d2),
+                        jnp.where(better, tidx, best_idx),
                         jnp.where(better, tdot, best_dot))
-
-            if NO_COND:
-                return compute()
-            return jax.lax.cond(near, compute, lambda: carry)
+            best_d2, best_dot = carry
+            better = td2 < best_d2
+            return (jnp.where(better, td2, best_d2),
+                    jnp.where(better, tdot, best_dot))
 
         if want_idx:
             init = (jnp.full((bq,), jnp.inf, jnp.float32),
                     jnp.full((bq,), -1, jnp.int32),
                     jnp.zeros((bq,), jnp.float32))
             best_d2, best_idx, best_dot = jax.lax.fori_loop(
-                lo, hi, tile_step, init)
+                0, cnt, tile_step, init)
             found = best_d2 < jnp.inf
             out_refs[0][0, pl.ds(j * bq, bq)] = jnp.where(found, best_idx,
                                                           -1)
@@ -262,7 +238,7 @@ def _nn_kernel(rad_ref, gate_ref, q_ref, tile_bounds_ref, bbox_ref,
         else:
             init = (jnp.full((bq,), jnp.inf, jnp.float32),
                     jnp.zeros((bq,), jnp.float32))
-            best_d2, best_dot = jax.lax.fori_loop(lo, hi, tile_step, init)
+            best_d2, best_dot = jax.lax.fori_loop(0, cnt, tile_step, init)
             out_refs[0][0, pl.ds(j * bq, bq)] = best_d2
             out_refs[1][0, pl.ds(j * bq, bq)] = best_dot
         return 0
@@ -442,15 +418,15 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
 
     # per-sub-block prologue, vectorized in XLA for ALL blocks at once
     # (see _nn_kernel docstring): query bbox per bq-wide block, near-tile
-    # mask against the tile bounds, dynamic [lo, hi) loop range. Empty
-    # sentinel tiles carry FAR bounds and are never near; FAR padding
-    # blocks get an empty range (lo = n_tiles, hi = 0).
+    # mask against the tile bounds, COMPACTED ascending near-tile list
+    # (sort moves the near tile indices to the front; the sentinel
+    # n_tiles marks the never-read tail) and its count. Empty sentinel
+    # tiles carry FAR bounds and are never near; FAR padding blocks get
+    # cnt = 0 and skip the tile loop entirely.
     nbt = mp // bq
     q3 = qslab[0:3].reshape(3, nbt, bq)
     bmin = q3.min(axis=2)                                # (3, nbt)
     bmax = q3.max(axis=2)
-    bbox = jnp.zeros((nbt, 8), jnp.float32)
-    bbox = bbox.at[:, 0:3].set(bmin.T).at[:, 4:7].set(bmax.T)
     tb = slab.tile_bounds                                # (n_tiles, 8)
     radj = jnp.sqrt(rad2[0])
     near = ((tb[None, :, 0] <= bmax[0][:, None] + radj) &
@@ -460,9 +436,9 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
             (tb[None, :, 2] <= bmax[2][:, None] + radj) &
             (tb[None, :, 6] >= bmin[2][:, None] - radj))  # (nbt, n_tiles)
     ii = jnp.arange(slab.n_tiles, dtype=jnp.int32)
-    lo = jnp.min(jnp.where(near, ii[None, :], slab.n_tiles), axis=1)
-    hi = jnp.max(jnp.where(near, ii[None, :], -1), axis=1) + 1
-    lohi = jnp.stack([lo, hi], axis=1).astype(jnp.int32)  # (nbt, 2)
+    keys = jnp.where(near, ii[None, :], jnp.int32(slab.n_tiles))
+    tlist = jnp.sort(keys, axis=1)                        # (nbt, n_tiles)
+    cnt = near.sum(axis=1, dtype=jnp.int32)[:, None]      # (nbt, 1)
 
     kernel = functools.partial(_nn_kernel, use_abs_dot=use_abs_dot,
                                want_idx=want_idx, n_tiles=slab.n_tiles,
@@ -483,16 +459,15 @@ def _run_kernel(slab: SortedSlab, q_pos, q_nrm, radius, cos_gate,
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # cos gate
             pl.BlockSpec((8, sbq), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                 # queries
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # tile bounds
-            pl.BlockSpec((N_SUB, 8), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),                 # block bbox
-            pl.BlockSpec((N_SUB, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),                 # block lo/hi
+            pl.BlockSpec((N_SUB, slab.n_tiles), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),                 # tile list
+            pl.BlockSpec((N_SUB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),                 # tile count
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # scene slab
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-    )(rad2, cgate, qslab, slab.tile_bounds, bbox, lohi, slab.slab)
+    )(rad2, cgate, qslab, tlist, cnt, slab.slab)
     return outs, m
 
 
