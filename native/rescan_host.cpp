@@ -31,8 +31,15 @@
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
+#include <chrono>
 
 namespace {
+
+inline double wall_sec() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 struct Grid {
   float ox, oy, oz;      // origin
@@ -1563,13 +1570,25 @@ void rescan_meanfield_icm(const float* U, const int32_t* csr_off,
 void rescan_abswap(const float* U, int64_t n, int32_t L,
                    const int32_t* csr_off, const int32_t* csr_nbr,
                    const float* csr_w, int32_t n_cycles, int32_t* labels) {
+  const bool stats = std::getenv("RESCAN_ABSWAP_STATS") != nullptr;
+  int64_t st_pairs = 0, st_skipped = 0, st_phases = 0, st_arcs = 0,
+          st_paths = 0;
+  double st_build = 0.0, st_flow = 0.0;
   std::vector<std::vector<int32_t>> bucket(L);
   for (int64_t i = 0; i < n; ++i) bucket[labels[i]].push_back((int32_t)i);
   std::vector<int32_t> local(n, -1), nodes;
-  std::vector<int32_t> bfs_q, level, iter, first, cursor, path;
+  std::vector<int32_t> bfs_q, level, iter, first, narc, path;
   // flat arc arena (SoA): to / reverse-arc index / residual capacity
   std::vector<int32_t> ato, arev;
   std::vector<int64_t> acap;
+  // quantize unaries and edge weights to int ONCE (the caps the reference
+  // hands gco are integral by construction); the per-pair passes then read
+  // plain ints instead of calling llroundf ~2(L-1) times per node per cycle
+  const int64_t n_csr = n ? csr_off[n] : 0;
+  std::vector<int32_t> Uq((size_t)n * L);
+  for (size_t k = 0; k < (size_t)n * L; ++k) Uq[k] = (int32_t)llroundf(U[k]);
+  std::vector<int32_t> wq(n_csr);
+  for (int64_t e = 0; e < n_csr; ++e) wq[e] = (int32_t)llroundf(csr_w[e]);
 
   for (int32_t cycle = 0; cycle < n_cycles; ++cycle) {
     for (int32_t a = 0; a < L; ++a) {
@@ -1584,24 +1603,25 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
         for (int pass = 0; pass < 2 && trivial; ++pass) {
           const std::vector<int32_t>& bk = pass ? bb : ba;
           for (const int32_t i : bk) {
-            const float* ui = U + (size_t)i * L;
-            const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
-            const bool own_ok = pass ? (db_ == 0 && da > 0)
-                                     : (da == 0 && db_ > 0);
+            const int32_t* ui = Uq.data() + (size_t)i * L;
+            const bool own_ok = pass ? (ui[b] == 0 && ui[a] > 0)
+                                     : (ui[a] == 0 && ui[b] > 0);
             if (!own_ok) { trivial = false; break; }
           }
         }
         if (trivial) {
           for (const int32_t i : ba) {
             for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e)
-              if (labels[csr_nbr[e]] == b && llroundf(csr_w[e]) > 0) {
+              if (labels[csr_nbr[e]] == b && wq[e] > 0) {
                 trivial = false;
                 break;
               }
             if (!trivial) break;
           }
         }
-        if (trivial) continue;  // max flow provably 0: nothing changes
+        if (trivial) { ++st_skipped; continue; }  // max flow provably 0
+        ++st_pairs;
+        const double t_b0 = stats ? wall_sec() : 0.0;
 
         // gather the pair set ascending (two-pointer bucket merge)
         nodes.clear();
@@ -1618,58 +1638,63 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
         const int32_t S = m, T = m + 1;
         for (int32_t li = 0; li < m; ++li) local[nodes[li]] = li;
 
-        // flat-CSR graph build: count arcs per vertex, prefix-sum, fill
+        // flat-CSR graph build, SINGLE pass: per-vertex arc-count UPPER
+        // bounds (2 unary arcs + CSR degree; m for S and T) avoid the
+        // counting pass; narc[] tracks actual counts and every later loop
+        // iterates [first[u], first[u] + narc[u]).
         first.assign(m + 3, 0);
         for (int32_t li = 0; li < m; ++li) {
           const int32_t i = nodes[li];
-          const float* ui = U + (size_t)i * L;
-          const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
-          if (db_ > 0) { ++first[S + 1]; ++first[li + 1]; }
-          if (da > 0) { ++first[li + 1]; ++first[T + 1]; }
-          for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
-            const int32_t j = csr_nbr[e];
-            if ((labels[j] == a || labels[j] == b) && j > i &&
-                llroundf(csr_w[e]) > 0) {
-              ++first[li + 1];
-              ++first[local[j] + 1];
-            }
-          }
+          first[li + 1] = first[li] + 2 + (csr_off[i + 1] - csr_off[i]);
         }
-        for (int32_t u = 0; u < m + 2; ++u) first[u + 1] += first[u];
+        first[S + 1] = first[S] + m;
+        first[T + 1] = first[T] + m;
         const int32_t n_arcs = first[m + 2];
         ato.resize(n_arcs);
         arev.resize(n_arcs);
         acap.resize(n_arcs);
-        cursor.assign(first.begin(), first.begin() + m + 2);
+        narc.assign(m + 2, 0);
         auto add_arc = [&](int32_t u, int32_t v, int64_t cap, int64_t rc) {
-          const int32_t pu = cursor[u]++, pv = cursor[v]++;
+          const int32_t pu = first[u] + narc[u]++;
+          const int32_t pv = first[v] + narc[v]++;
           ato[pu] = v; acap[pu] = cap; arev[pu] = pv;
           ato[pv] = u; acap[pv] = rc; arev[pv] = pu;
         };
         for (int32_t li = 0; li < m; ++li) {
           const int32_t i = nodes[li];
-          const float* ui = U + (size_t)i * L;
-          const int64_t da = llroundf(ui[a]), db_ = llroundf(ui[b]);
-          if (db_ > 0) add_arc(S, li, db_, 0);
-          if (da > 0) add_arc(li, T, da, 0);
+          const int32_t* ui = Uq.data() + (size_t)i * L;
+          if (ui[b] > 0) add_arc(S, li, ui[b], 0);
+          if (ui[a] > 0) add_arc(li, T, ui[a], 0);
           for (int32_t e = csr_off[i]; e < csr_off[i + 1]; ++e) {
             const int32_t j = csr_nbr[e];
-            if ((labels[j] == a || labels[j] == b) && j > i) {
-              const int64_t w = llroundf(csr_w[e]);
-              if (w > 0) add_arc(li, local[j], w, w);
-            }
+            if ((labels[j] == a || labels[j] == b) && j > i && wq[e] > 0)
+              add_arc(li, local[j], wq[e], wq[e]);
           }
         }
 
-        // Dinic max-flow: BFS levels + iterative current-arc DFS
+        const double t_f0 = stats ? wall_sec() : 0.0;
+        if (stats) {
+          st_build += t_f0 - t_b0;
+          st_arcs += n_arcs;
+        }
+
+        // Dinic max-flow: BFS levels + iterative current-arc DFS. The
+        // BFS stops expanding once a node could only reach levels past
+        // level[T] (exact: admissible DFS arcs are checked against level
+        // VALUES, so unlabeled too-deep nodes can never join a shortest
+        // augmenting path). The TERMINAL phase (level[T] stays -1) runs
+        // the full BFS, so its level array doubles as the final residual
+        // reachability below.
         for (;;) {
+          ++st_phases;
           level.assign(m + 2, -1);
           level[S] = 0;
           bfs_q.clear();
           bfs_q.push_back(S);
           for (size_t h = 0; h < bfs_q.size(); ++h) {
             const int32_t u = bfs_q[h];
-            for (int32_t e = first[u]; e < first[u + 1]; ++e)
+            if (level[T] >= 0 && level[u] + 1 >= level[T]) continue;
+            for (int32_t e = first[u]; e < first[u] + narc[u]; ++e)
               if (acap[e] > 0 && level[ato[e]] < 0) {
                 level[ato[e]] = level[u] + 1;
                 bfs_q.push_back(ato[e]);
@@ -1684,6 +1709,7 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
           int32_t u = S;
           for (;;) {
             if (u == T) {
+              ++st_paths;
               int64_t f = INT64_MAX;
               for (const int32_t e : path) f = f < acap[e] ? f : acap[e];
               for (const int32_t e : path) {
@@ -1697,7 +1723,7 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
               continue;
             }
             bool advanced = false;
-            for (int32_t& e = iter[u]; e < first[u + 1]; ++e)
+            for (int32_t& e = iter[u]; e < first[u] + narc[u]; ++e)
               if (acap[e] > 0 && level[ato[e]] == level[u] + 1) {
                 path.push_back(e);
                 u = ato[e];
@@ -1713,21 +1739,13 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
           }
         }
 
-        // source-reachable nodes keep label a, the rest get b
-        level.assign(m + 2, -1);
-        level[S] = 0;
-        bfs_q.clear();
-        bfs_q.push_back(S);
-        for (size_t h = 0; h < bfs_q.size(); ++h) {
-          const int32_t u = bfs_q[h];
-          for (int32_t e = first[u]; e < first[u + 1]; ++e)
-            if (acap[e] > 0 && level[ato[e]] < 0) {
-              level[ato[e]] = 0;
-              bfs_q.push_back(ato[e]);
-            }
-        }
+        if (stats) st_flow += wall_sec() - t_f0;
+
+        // source-reachable nodes keep label a, the rest get b — the
+        // terminal phase's FULL BFS above already computed residual
+        // reachability from S (level >= 0), no extra pass needed
         for (int32_t li = 0; li < m; ++li)
-          labels[nodes[li]] = level[li] == 0 ? a : b;
+          labels[nodes[li]] = level[li] >= 0 ? a : b;
         for (const int32_t v : nodes) local[v] = -1;
         // rebuild the two touched buckets (ascending order preserved:
         // nodes is ascending and each bucket takes a subsequence)
@@ -1737,6 +1755,13 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
       }
     }
   }
+  if (stats)
+    std::fprintf(stderr,
+                 "ABSWAP_STATS pairs=%lld skipped=%lld phases=%lld "
+                 "arcs=%lld paths=%lld build_s=%.3f flow_s=%.3f\n",
+                 (long long)st_pairs, (long long)st_skipped,
+                 (long long)st_phases, (long long)st_arcs,
+                 (long long)st_paths, st_build, st_flow);
 }
 
 // Union-find with path halving over an undirected edge list; labels_out
