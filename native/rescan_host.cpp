@@ -1589,13 +1589,33 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
   for (size_t k = 0; k < (size_t)n * L; ++k) Uq[k] = (int32_t)llroundf(U[k]);
   std::vector<int32_t> wq(n_csr);
   for (int64_t e = 0; e < n_csr; ++e) wq[e] = (int32_t)llroundf(csr_w[e]);
+  // pair convergence tracking: the (a, b) max-flow instance depends ONLY
+  // on the node set labeled a or b (unaries are fixed, the a/b split
+  // within the set does not enter the graph), and a solve is idempotent
+  // (it ends at its own canonical cut). So a pair whose two labels'
+  // MEMBERSHIPS are unchanged since its last visit would reproduce the
+  // current labels exactly — skip it. ver[l] bumps whenever a node
+  // enters or leaves label l; last_va/last_vb record the versions at
+  // each pair's last visit. In practice this makes the second swap
+  // cycle near-free once cycle 1 converges.
+  std::vector<int64_t> ver(L, 1);
+  std::vector<int64_t> last_va((size_t)L * L, -1), last_vb((size_t)L * L, -1);
 
   for (int32_t cycle = 0; cycle < n_cycles; ++cycle) {
     for (int32_t a = 0; a < L; ++a) {
       for (int32_t b = a + 1; b < L; ++b) {
+        const size_t pk = (size_t)a * L + b;
+        if (last_va[pk] == ver[a] && last_vb[pk] == ver[b]) {
+          ++st_skipped;  // memberships unchanged since last visit
+          continue;
+        }
         const std::vector<int32_t>& ba = bucket[a];
         const std::vector<int32_t>& bb = bucket[b];
-        if (ba.empty() && bb.empty()) continue;
+        if (ba.empty() && bb.empty()) {
+          last_va[pk] = ver[a];
+          last_vb[pk] = ver[b];
+          continue;
+        }
 
         // exact trivial-pair test (rewrite 2 above): unary conditions
         // first (O(|set|)), then an early-exit boundary-edge scan
@@ -1619,7 +1639,12 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
             if (!trivial) break;
           }
         }
-        if (trivial) { ++st_skipped; continue; }  // max flow provably 0
+        if (trivial) {  // max flow provably 0: nothing changes
+          ++st_skipped;
+          last_va[pk] = ver[a];
+          last_vb[pk] = ver[b];
+          continue;
+        }
         ++st_pairs;
         const double t_b0 = stats ? wall_sec() : 0.0;
 
@@ -1744,14 +1769,24 @@ void rescan_abswap(const float* U, int64_t n, int32_t L,
         // source-reachable nodes keep label a, the rest get b — the
         // terminal phase's FULL BFS above already computed residual
         // reachability from S (level >= 0), no extra pass needed
-        for (int32_t li = 0; li < m; ++li)
-          labels[nodes[li]] = level[li] >= 0 ? a : b;
+        bool moved = false;
+        for (int32_t li = 0; li < m; ++li) {
+          const int32_t lnew = level[li] >= 0 ? a : b;
+          moved |= labels[nodes[li]] != lnew;
+          labels[nodes[li]] = lnew;
+        }
         for (const int32_t v : nodes) local[v] = -1;
-        // rebuild the two touched buckets (ascending order preserved:
-        // nodes is ascending and each bucket takes a subsequence)
-        bucket[a].clear();
-        bucket[b].clear();
-        for (const int32_t v : nodes) bucket[labels[v]].push_back(v);
+        if (moved) {
+          ++ver[a];
+          ++ver[b];
+          // rebuild the two touched buckets (ascending order preserved:
+          // nodes is ascending and each bucket takes a subsequence)
+          bucket[a].clear();
+          bucket[b].clear();
+          for (const int32_t v : nodes) bucket[labels[v]].push_back(v);
+        }
+        last_va[pk] = ver[a];
+        last_vb[pk] = ver[b];
       }
     }
   }
